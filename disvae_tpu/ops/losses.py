@@ -1,0 +1,339 @@
+"""The five VAE loss families as pure, jit-fusable functions.
+
+TPU-native re-design of reference disvae/models/losses.py:17-544. Key
+departures from the torch design, driven by XLA's compile-once model:
+
+* Losses are frozen dataclasses (hashable -> jit-static). All run-time state
+  the reference kept on the loss object (`n_train_steps` for annealing and
+  record-every-50 gating, losses.py:105-114) becomes an explicit traced
+  `step` scalar carried in the train state.
+* Every loss returns ``(loss, metrics_dict)`` where metrics are traced
+  scalars computed unconditionally — gating which steps get *recorded* is a
+  host-side concern (see train/trainer.py), so there is no data-dependent
+  control flow inside the compiled step.
+* FactorVAE's two-optimizer, retain-graph backward dance (losses.py:281-308)
+  is reformulated as a single differentiable scalar with stop_gradients
+  placed so one jax.grad over (vae_params, disc_params) yields exactly the
+  reference's update for both (see factor_surrogate below).
+* Annealing uses traced jnp.minimum instead of Python min so `step` can be a
+  tracer (reference linear_annealing at losses.py:511-518).
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from disvae_tpu.ops.math import (log_density_gaussian,
+                                 log_importance_weight_matrix,
+                                 matrix_log_density_gaussian)
+
+LOSSES = ["VAE", "betaH", "betaB", "factor", "btcvae"]
+RECON_DIST = ["bernoulli", "laplace", "gaussian"]
+
+# Matches the reference's BaseLoss(record_loss_every=50) default
+# (losses.py:71): sub-losses are recorded when step % 50 == 1, where the
+# step counter is incremented before the check.
+RECORD_LOSS_EVERY = 50
+
+
+def get_loss_f(loss_name, **kwargs_parse):
+    """Build the loss config from argparse-style kwargs (reference
+    losses.py:22-49). `device` is accepted and ignored (JAX arrays carry
+    their own placement)."""
+    kwargs_all = dict(rec_dist=kwargs_parse["rec_dist"],
+                      steps_anneal=kwargs_parse["reg_anneal"])
+    if loss_name == "betaH":
+        return BetaHLoss(beta=kwargs_parse["betaH_B"], **kwargs_all)
+    elif loss_name == "VAE":
+        return BetaHLoss(beta=1, **kwargs_all)
+    elif loss_name == "betaB":
+        return BetaBLoss(C_init=kwargs_parse["betaB_initC"],
+                         C_fin=kwargs_parse["betaB_finC"],
+                         gamma=kwargs_parse["betaB_G"],
+                         **kwargs_all)
+    elif loss_name == "factor":
+        return FactorKLoss(gamma=kwargs_parse["factor_G"],
+                           latent_dim=kwargs_parse["latent_dim"],
+                           lr_disc=kwargs_parse["lr_disc"],
+                           **kwargs_all)
+    elif loss_name == "btcvae":
+        return BtcvaeLoss(n_data=kwargs_parse["n_data"],
+                          alpha=kwargs_parse["btcvae_A"],
+                          beta=kwargs_parse["btcvae_B"],
+                          gamma=kwargs_parse["btcvae_G"],
+                          **kwargs_all)
+    else:
+        raise ValueError("Uknown loss : {}".format(loss_name))
+
+
+def linear_annealing(init, fin, step, annealing_steps):
+    """Traced linear ramp init -> fin over `annealing_steps` steps."""
+    if annealing_steps == 0:
+        return jnp.asarray(fin, jnp.float32)
+    delta = fin - init
+    return jnp.minimum(init + delta * step / annealing_steps, fin)
+
+
+def reconstruction_loss(data, recon_data, distribution="bernoulli"):
+    """Per-image negative log likelihood, summed over pixels and averaged over
+    the batch (reference losses.py:394-449). data/recon: (N, H, W, C) in [0,1].
+
+    bernoulli -> summed BCE; gaussian -> summed MSE in [0,255] space / 255;
+    laplace -> summed L1 * 3 (empirical scale to match bernoulli magnitudes).
+    """
+    batch_size = recon_data.shape[0]
+    if distribution == "bernoulli":
+        # torch F.binary_cross_entropy clamps each log at -100, which matters
+        # when the sigmoid saturates to exactly 0/1 in float32.
+        log_r = jnp.maximum(jnp.log(recon_data), -100.0)
+        log_1mr = jnp.maximum(jnp.log1p(-recon_data), -100.0)
+        loss = -jnp.sum(data * log_r + (1 - data) * log_1mr)
+    elif distribution == "gaussian":
+        loss = jnp.sum((recon_data * 255 - data * 255) ** 2) / 255
+    elif distribution == "laplace":
+        loss = jnp.sum(jnp.abs(recon_data - data)) * 3
+        loss = loss * (loss != 0)  # reference's nan guard (losses.py:439)
+    else:
+        raise ValueError("Unkown distribution: {}".format(distribution))
+    return loss / batch_size
+
+
+def kl_normal_loss(mean, logvar):
+    """Closed-form KL(q || N(0, I)). Returns (total_kl, per_dim_kl) where
+    per_dim_kl is the batch mean per latent dimension (reference
+    losses.py:452-480 logs these as kl_loss_i)."""
+    latent_kl = 0.5 * jnp.mean(-1 - logvar + mean ** 2 + jnp.exp(logvar),
+                               axis=0)
+    return jnp.sum(latent_kl), latent_kl
+
+
+def _kl_metrics(mean, logvar):
+    total_kl, latent_kl = kl_normal_loss(mean, logvar)
+    metrics = {"kl_loss": total_kl}
+    for i in range(latent_kl.shape[0]):
+        metrics["kl_loss_" + str(i)] = latent_kl[i]
+    return total_kl, metrics
+
+
+def metric_key_order(loss_name, latent_dim):
+    """Canonical row order of the train log for each loss family, matching
+    the reference's storer insertion order so `train_losses.log` files are
+    directly comparable line-for-line."""
+    kl_keys = ["kl_loss"] + ["kl_loss_" + str(i) for i in range(latent_dim)]
+    if loss_name == "btcvae":
+        return (["recon_loss", "loss", "mi_loss", "tc_loss", "dw_kl_loss"]
+                + kl_keys)
+    if loss_name == "factor":
+        return ["recon_loss"] + kl_keys + ["loss", "tc_loss", "discrim_loss"]
+    return ["recon_loss"] + kl_keys + ["loss"]
+
+
+@dataclass(frozen=True)
+class BetaHLoss:
+    """Higgins et al. beta-VAE: rec + anneal * beta * KL (losses.py:117-153).
+    With beta=1 this is the plain VAE loss."""
+    beta: float = 4.0
+    rec_dist: str = "bernoulli"
+    steps_anneal: int = 0
+
+    name = "betaH"
+    needs_discriminator = False
+
+    def __call__(self, data, recon_data, latent_dist, is_train, step,
+                 latent_sample=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
+        kl_loss, metrics = _kl_metrics(*latent_dist)
+        anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
+                      if is_train else 1.0)
+        loss = rec_loss + anneal_reg * (self.beta * kl_loss)
+        metrics.update(recon_loss=rec_loss, loss=loss)
+        return loss, metrics
+
+
+@dataclass(frozen=True)
+class BetaBLoss:
+    """Burgess et al. capacity-annealed beta-VAE:
+    rec + gamma * |KL - C(step)| with C ramping C_init -> C_fin
+    (losses.py:156-202). Eval uses C = C_fin."""
+    C_init: float = 0.0
+    C_fin: float = 20.0
+    gamma: float = 100.0
+    rec_dist: str = "bernoulli"
+    steps_anneal: int = 0
+
+    name = "betaB"
+    needs_discriminator = False
+
+    def __call__(self, data, recon_data, latent_dist, is_train, step,
+                 latent_sample=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
+        kl_loss, metrics = _kl_metrics(*latent_dist)
+        C = (linear_annealing(self.C_init, self.C_fin, step, self.steps_anneal)
+             if is_train else jnp.asarray(self.C_fin, jnp.float32))
+        loss = rec_loss + self.gamma * jnp.abs(kl_loss - C)
+        metrics.update(recon_loss=rec_loss, loss=loss)
+        return loss, metrics
+
+
+@dataclass(frozen=True)
+class BtcvaeLoss:
+    """beta-TCVAE decomposed ELBO (Chen et al. 2018):
+    rec + alpha*MI + beta*TC + anneal*gamma*dwKL (losses.py:316-391), with the
+    minibatch stratified sampling estimator by default.
+
+    The O(B^2 D) pairwise log-density matrix is formed with jnp broadcasting;
+    under a data-sharded mesh XLA all-gathers the (B, D) latent stats
+    (~30 KB) so the estimator stays exact at global batch size.
+    """
+    n_data: int = 1
+    alpha: float = 1.0
+    beta: float = 6.0
+    gamma: float = 1.0
+    is_mss: bool = True
+    rec_dist: str = "bernoulli"
+    steps_anneal: int = 0
+
+    name = "btcvae"
+    needs_discriminator = False
+
+    def __call__(self, data, recon_data, latent_dist, is_train, step,
+                 latent_sample=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
+        log_pz, log_qz, log_prod_qzi, log_q_zCx = _log_pz_qz_prodzi_qzCx(
+            latent_sample, latent_dist, self.n_data, is_mss=self.is_mss)
+        mi_loss = jnp.mean(log_q_zCx - log_qz)        # I[z;x]
+        tc_loss = jnp.mean(log_qz - log_prod_qzi)     # TC[z]
+        dw_kl_loss = jnp.mean(log_prod_qzi - log_pz)  # dim-wise KL
+        anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
+                      if is_train else 1.0)
+        loss = rec_loss + (self.alpha * mi_loss
+                           + self.beta * tc_loss
+                           + anneal_reg * self.gamma * dw_kl_loss)
+        _, metrics = _kl_metrics(*latent_dist)
+        metrics.update(recon_loss=rec_loss, loss=loss, mi_loss=mi_loss,
+                       tc_loss=tc_loss, dw_kl_loss=dw_kl_loss)
+        return loss, metrics
+
+
+@dataclass(frozen=True)
+class FactorKLoss:
+    """FactorVAE adversarial total-correlation loss (Kim & Mnih 2018, Alg. 2;
+    reference losses.py:205-313). Uses a dedicated train step — see
+    train/steps.py — because it updates two parameter sets per iteration on a
+    batch split in half. This config carries the discriminator hyperparams;
+    the discriminator's params/optimizer live in the train state.
+    """
+    gamma: float = 10.0
+    latent_dim: int = 10
+    lr_disc: float = 5e-5
+    disc_betas: tuple = (0.5, 0.9)
+    rec_dist: str = "bernoulli"
+    steps_anneal: int = 0
+
+    name = "factor"
+    needs_discriminator = True
+
+    def __call__(self, *args, **kwargs):
+        raise ValueError("Use the factor train/eval step to also train the "
+                         "discriminator")
+
+    def eval_losses(self, data, recon_data, latent_dist, d_z, is_train, step):
+        """Evaluation-path loss pieces (no updates): mirrors the storer values
+        of call_optimize when model.training is False (losses.py:254-278)."""
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
+        kl_loss, metrics = _kl_metrics(*latent_dist)
+        tc_loss = jnp.mean(d_z[:, 0] - d_z[:, 1])
+        anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
+                      if is_train else 1.0)
+        vae_loss = rec_loss + kl_loss + anneal_reg * self.gamma * tc_loss
+        metrics.update(recon_loss=rec_loss, loss=vae_loss, tc_loss=tc_loss)
+        return vae_loss, metrics
+
+
+def permute_dims(rng, latent_sample):
+    """Independently permute each latent dimension across the batch
+    (reference losses.py:483-508). One fused gather instead of a per-dim
+    Python loop: draw a (B, D) matrix of random keys, argsort along the batch
+    axis to get D independent permutations, then take_along_axis."""
+    noise = jax.random.uniform(rng, latent_sample.shape)
+    pi = jnp.argsort(noise, axis=0)
+    return jnp.take_along_axis(latent_sample, pi, axis=0)
+
+
+def softmax_cross_entropy(logits, labels):
+    """Mean cross entropy with integer labels (torch F.cross_entropy)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
+                     step, is_train=True):
+    """Single differentiable scalar whose gradients wrt (params, disc_params)
+    reproduce the reference's dual-backward update exactly.
+
+    Reference semantics (losses.py:243-313): the VAE params receive
+    grad(vae_loss) + grad(d_tc_loss) — the latter because d_tc_loss.backward()
+    flows through D(z1) into the encoder and optimizer.step() consumes the
+    accumulated sum — while the discriminator receives only grad(d_tc_loss)
+    (its grads from vae_loss are zeroed first). z_perm is detached.
+
+    Surrogate: vae_loss(params, stop_grad(disc_params)) + d_tc_loss(params,
+    disc_params). d/d(params) = both terms; d/d(disc_params) = d_tc only.
+
+    Returns (surrogate, aux) with aux carrying the metric scalars.
+    """
+    half = data.shape[0] // 2
+    data1, data2 = data[:half], data[half:]
+    rng1, rng2, rng_perm = jax.random.split(rng, 3)
+
+    recon_batch, latent_dist, z1 = model.apply(params, data1, rng1,
+                                               is_train=is_train)
+    rec_loss = reconstruction_loss(data1, recon_batch, loss_cfg.rec_dist)
+    kl_loss, kl_metrics = _kl_metrics(*latent_dist)
+
+    disc_params_stop = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                              disc_params)
+    d_z_for_vae = disc.apply(disc_params_stop, z1)
+    tc_loss = jnp.mean(d_z_for_vae[:, 0] - d_z_for_vae[:, 1])
+    anneal_reg = (linear_annealing(0, 1, step, loss_cfg.steps_anneal)
+                  if is_train else 1.0)
+    vae_loss = rec_loss + kl_loss + anneal_reg * loss_cfg.gamma * tc_loss
+
+    # Discriminator loss: real z1 vs detached permuted z2.
+    z2 = model.sample_latent(params, data2, rng2, is_train=is_train)
+    z_perm = jax.lax.stop_gradient(permute_dims(rng_perm, z2))
+    d_z = disc.apply(disc_params, z1)
+    d_z_perm = disc.apply(disc_params, z_perm)
+    zeros = jnp.zeros(half, dtype=jnp.int32)
+    ones = jnp.ones(half, dtype=jnp.int32)
+    d_tc_loss = 0.5 * (softmax_cross_entropy(d_z, zeros)
+                       + softmax_cross_entropy(d_z_perm, ones))
+
+    metrics = dict(kl_metrics)
+    metrics.update(recon_loss=rec_loss, loss=vae_loss, tc_loss=tc_loss,
+                   discrim_loss=d_tc_loss)
+    surrogate = vae_loss + d_tc_loss
+    return surrogate, metrics
+
+
+def _log_pz_qz_prodzi_qzCx(latent_sample, latent_dist, n_data, is_mss=True):
+    """btcvae estimator internals (reference losses.py:523-544)."""
+    batch_size = latent_sample.shape[0]
+    mean, logvar = latent_dist
+
+    log_q_zCx = jnp.sum(log_density_gaussian(latent_sample, mean, logvar),
+                        axis=1)
+    zeros = jnp.zeros_like(latent_sample)
+    log_pz = jnp.sum(log_density_gaussian(latent_sample, zeros, zeros), axis=1)
+
+    mat_log_qz = matrix_log_density_gaussian(latent_sample, mean, logvar)
+    if is_mss:
+        log_iw = log_importance_weight_matrix(batch_size, n_data,
+                                              mat_log_qz.dtype)
+        mat_log_qz = mat_log_qz + log_iw[:, :, None]
+
+    log_qz = jax.scipy.special.logsumexp(jnp.sum(mat_log_qz, axis=2), axis=1)
+    log_prod_qzi = jnp.sum(jax.scipy.special.logsumexp(mat_log_qz, axis=1),
+                           axis=1)
+    return log_pz, log_qz, log_prod_qzi, log_q_zCx

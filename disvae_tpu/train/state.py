@@ -1,0 +1,40 @@
+"""Functional training state.
+
+Everything the reference kept as Python object state — model weights, Adam
+moments (main.py:208), the discriminator and its second Adam (losses.py:
+229-238), the `n_train_steps` counter (losses.py:105-107), the RNG — lives in
+one pytree so a single compiled step function can thread it with donated
+buffers (zero-copy in-place updates in HBM).
+"""
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    step: jnp.ndarray          # int32 scalar; counted like the reference's
+    rng: jax.Array             # n_train_steps (incremented before use)
+    disc_params: dict = None
+    disc_opt_state: object = None
+
+
+def create_train_state(model, params, optimizer, rng, disc=None,
+                       disc_optimizer=None, disc_rng=None):
+    disc_params = None
+    disc_opt_state = None
+    if disc is not None:
+        disc_params = disc.init(disc_rng)
+        disc_opt_state = disc_optimizer.init(disc_params)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+        disc_params=disc_params,
+        disc_opt_state=disc_opt_state,
+    )

@@ -1,0 +1,129 @@
+"""Compiled train/eval step builders — one fused XLA program per loss family.
+
+This replaces the reference's per-iteration Python orchestration
+(disvae/training.py:137-164: forward -> loss -> zero_grad -> backward -> step,
+with a ValueError-driven fallback into FactorVAE's dual-optimizer path at
+losses.py:243-313). Here each family gets a single jitted function
+(state, batch) -> (state, metrics) with donated state buffers; XLA fuses the
+whole update including both optimizers for FactorVAE.
+
+Sharding: steps take an optional mesh. Params/opt state are replicated, the
+batch is sharded over the 'data' axis; XLA inserts the gradient psum and the
+latent-stat all-gather that btcvae's pairwise matrix needs.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from disvae_tpu.ops import losses as L
+
+
+def make_optimizer(lr):
+    """Adam with torch defaults (betas 0.9/0.999, eps 1e-8) as in main.py:208."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_disc_optimizer(loss_cfg):
+    """Discriminator Adam with betas (0.5, 0.9) (reference losses.py:232-238)."""
+    b1, b2 = loss_cfg.disc_betas
+    return optax.adam(loss_cfg.lr_disc, b1=b1, b2=b2, eps=1e-8)
+
+
+def make_train_step(model, loss_cfg, optimizer, disc=None,
+                    disc_optimizer=None, donate=True):
+    """Build the jitted training step for `loss_cfg`."""
+    if loss_cfg.needs_discriminator:
+        assert disc is not None and disc_optimizer is not None
+        step_fn = partial(_factor_train_step, model, loss_cfg, optimizer,
+                          disc, disc_optimizer)
+    else:
+        step_fn = partial(_standard_train_step, model, loss_cfg, optimizer)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_cfg, disc=None):
+    """Build the jitted evaluation step: batch -> metrics (no updates).
+
+    Eval-mode semantics from the reference: reparameterize returns the mean
+    (vae.py:65-71 with model.eval()), annealing factors are at their final
+    value (losses.py:146-147,194-195), and FactorVAE evaluates only the first
+    half-batch and skips the discriminator loss (losses.py:276-278).
+    """
+    if loss_cfg.needs_discriminator:
+        def eval_fn(params, disc_params, batch):
+            half = batch.shape[0] // 2
+            data1 = batch[:half]
+            recon, latent_dist, z = model.apply(params, data1, rng=None,
+                                                is_train=False)
+            d_z = disc.apply(disc_params, z)
+            _, metrics = loss_cfg.eval_losses(data1, recon, latent_dist, d_z,
+                                              is_train=False, step=0)
+            return metrics
+        return jax.jit(eval_fn)
+
+    def eval_fn(params, disc_params, batch):
+        del disc_params
+        recon, latent_dist, z = model.apply(params, batch, rng=None,
+                                            is_train=False)
+        _, metrics = loss_cfg(batch, recon, latent_dist, False, 0,
+                              latent_sample=z)
+        return metrics
+    return jax.jit(eval_fn)
+
+
+def _standard_train_step(model, loss_cfg, optimizer, state, batch):
+    step = state.step + 1  # incremented before use, like _pre_call
+    rng, rng_reparam = jax.random.split(state.rng)
+
+    def loss_fn(params):
+        recon, latent_dist, z = model.apply(params, batch, rng_reparam,
+                                            is_train=True)
+        return loss_cfg(batch, recon, latent_dist, True, step,
+                        latent_sample=z)
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(params=params, opt_state=opt_state, step=step,
+                              rng=rng)
+    return new_state, metrics
+
+
+def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
+                       state, batch):
+    """FactorVAE step. One jax.grad over the surrogate scalar reproduces the
+    reference's grad flow for both parameter sets; both updates are computed
+    from the pre-step parameters and applied together, matching the
+    end-of-iteration optimizer.step()/optimizer_d.step() ordering
+    (losses.py:306-308)."""
+    step = state.step + 1
+    rng, rng_loss = jax.random.split(state.rng)
+
+    def loss_fn(params, disc_params):
+        return L.factor_surrogate(loss_cfg, model, disc, params, disc_params,
+                                  batch, rng_loss, step, is_train=True)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    (_, metrics), (grads, disc_grads) = grad_fn(state.params,
+                                                state.disc_params)
+
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    d_updates, disc_opt_state = disc_optimizer.update(
+        disc_grads, state.disc_opt_state, state.disc_params)
+    disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+    new_state = state.replace(params=params, opt_state=opt_state, step=step,
+                              rng=rng, disc_params=disc_params,
+                              disc_opt_state=disc_opt_state)
+    return new_state, metrics
+
+
+def stack_metrics(metrics, key_order):
+    """Pack a metrics dict into one f32 vector in canonical key order (one
+    device buffer per step instead of ~16)."""
+    return jnp.stack([metrics[k] for k in key_order])

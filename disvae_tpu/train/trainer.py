@@ -1,0 +1,179 @@
+"""Training orchestration: epoch loop, metric recording, checkpointing.
+
+Counterpart of reference disvae/training.py:17-196, re-built around JAX's
+async dispatch model. The reference forces a device->host sync every
+iteration (`loss.item()`, training.py:164); here each step returns one packed
+metric vector whose transfer is deferred one step behind dispatch, so the
+device never idles waiting on the host and the host never blocks on an
+in-flight step.
+
+Artifact parity: `train_losses.log` is CSV `Epoch,Loss,Value` with one row per
+(epoch, metric) averaged over the steps where `global_step % 50 == 1`
+(the reference's record_loss_every gate, losses.py:105-114), and checkpoints
+are written every `checkpoint_every` epochs as `model-<epoch>.npz`.
+"""
+
+import logging
+import os
+from timeit import default_timer
+
+import jax
+import numpy as np
+
+from disvae_tpu.models.discriminator import Discriminator
+from disvae_tpu.ops.losses import RECORD_LOSS_EVERY, metric_key_order
+from disvae_tpu.train.state import create_train_state
+from disvae_tpu.train.steps import (make_disc_optimizer, make_eval_step,
+                                    make_optimizer, make_train_step,
+                                    stack_metrics)
+from disvae_tpu.utils.modelIO import save_model
+
+TRAIN_LOSSES_LOGFILE = "train_losses.log"
+
+
+class Trainer:
+    """Drives training of a (model, params) pair under a loss config.
+
+    Parameters
+    ----------
+    model : disvae_tpu.models.vae.VAE
+        Static model description.
+    params : pytree
+        Initial parameters.
+    loss_f : loss config from disvae_tpu.ops.losses
+    lr : float
+        Adam learning rate (torch-default betas/eps).
+    rng : jax.random key
+        Training randomness (reparameterization, permutations). Split off the
+        seed key; a separate key initializes the FactorVAE discriminator.
+    save_dir : str
+    gif_visualizer : callable(params) or None
+        Called after every epoch to append a traversal frame.
+    """
+
+    def __init__(self, model, params, loss_f, lr,
+                 rng=None,
+                 logger=logging.getLogger(__name__),
+                 save_dir="results",
+                 gif_visualizer=None,
+                 is_progress_bar=True,
+                 mesh=None):
+        self.model = model
+        self.loss_f = loss_f
+        self.save_dir = save_dir
+        self.logger = logger
+        self.is_progress_bar = is_progress_bar
+        self.gif_visualizer = gif_visualizer
+        self.losses_logger = LossesLogger(
+            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE))
+        self.mesh = mesh
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng, disc_rng = jax.random.split(rng)
+
+        optimizer = make_optimizer(lr)
+        disc = None
+        disc_optimizer = None
+        if loss_f.needs_discriminator:
+            disc = Discriminator(latent_dim=loss_f.latent_dim)
+            disc_optimizer = make_disc_optimizer(loss_f)
+        self.disc = disc
+        self.state = create_train_state(model, params, optimizer, rng,
+                                        disc=disc,
+                                        disc_optimizer=disc_optimizer,
+                                        disc_rng=disc_rng)
+        self._train_step = make_train_step(model, loss_f, optimizer,
+                                           disc=disc,
+                                           disc_optimizer=disc_optimizer)
+        self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
+        self.logger.info("Training Device: {}".format(
+            jax.devices()[0].platform))
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def __call__(self, data_loader, epochs=10, checkpoint_every=10):
+        start = default_timer()
+        n_images = 0
+        for epoch in range(epochs):
+            mean_epoch_loss, storer = self._train_epoch(data_loader, epoch)
+            n_images += len(data_loader.dataset)
+            self.logger.info("Epoch: {} Average loss per image: {:.2f}"
+                             .format(epoch + 1, mean_epoch_loss))
+            self.losses_logger.log(epoch, storer)
+
+            if self.gif_visualizer is not None:
+                self.gif_visualizer(self.state.params)
+
+            if epoch % checkpoint_every == 0:
+                save_model(self.model, self.state.params, self.save_dir,
+                           filename="model-{}.npz".format(epoch))
+
+        if self.gif_visualizer is not None:
+            self.gif_visualizer.save_reset()
+
+        delta_time = (default_timer() - start) / 60
+        self.logger.info("Finished training after {:.1f} min.".format(
+            delta_time))
+        if delta_time > 0:
+            self.logger.info("Throughput: {:.0f} images/sec.".format(
+                n_images / (delta_time * 60)))
+
+    def _train_epoch(self, data_loader, epoch):
+        """One epoch. Returns (mean loss over all steps, storer dict of means
+        over recorded steps)."""
+        base_step = int(self.state.step)
+        pending = None  # metric vector of the previously dispatched step
+        host_metrics = []
+
+        iterator = data_loader
+        if self.is_progress_bar:
+            from tqdm import tqdm
+            iterator = tqdm(data_loader, desc="Epoch {}".format(epoch + 1),
+                            leave=False)
+
+        for data, _ in iterator:
+            batch = jax.device_put(np.asarray(data))
+            self.state, metrics = self._train_step(self.state, batch)
+            vec = stack_metrics(metrics, self.metric_keys)
+            if pending is not None:
+                host_metrics.append(np.asarray(pending))
+            pending = vec
+        if pending is not None:
+            host_metrics.append(np.asarray(pending))
+
+        if not host_metrics:
+            return float("nan"), {}
+        all_metrics = np.stack(host_metrics)  # (n_steps, n_keys)
+        steps = base_step + 1 + np.arange(all_metrics.shape[0])
+        recorded = (steps % RECORD_LOSS_EVERY) == 1
+        loss_idx = self.metric_keys.index("loss")
+        mean_epoch_loss = float(all_metrics[:, loss_idx].mean())
+        storer = {}
+        if recorded.any():
+            means = all_metrics[recorded].mean(axis=0)
+            storer = {k: float(means[i])
+                      for i, k in enumerate(self.metric_keys)}
+        return mean_epoch_loss, storer
+
+
+class LossesLogger:
+    """CSV metric log, byte-compatible with the reference's
+    `train_losses.log` (training.py:167-196): header `Epoch,Loss,Value`, one
+    row per (epoch, key, mean-over-recorded-steps). Any pre-existing file is
+    replaced."""
+
+    def __init__(self, file_path_name):
+        if os.path.isfile(file_path_name):
+            os.remove(file_path_name)
+        self.path = file_path_name
+        os.makedirs(os.path.dirname(file_path_name) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            f.write("Epoch,Loss,Value\n")
+
+    def log(self, epoch, storer):
+        with open(self.path, "a") as f:
+            for k, v in storer.items():
+                f.write("{},{},{}\n".format(epoch, k, v))

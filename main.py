@@ -1,0 +1,260 @@
+"""Train and evaluate disentangled VAEs on TPU.
+
+CLI-compatible with the reference's main.py:28-248: same option groups,
+experiment names, INI layering (`-x <loss>_<dataset>` merges
+Common_<dataset> -> Common_<loss> -> [<loss>_<dataset>] onto the defaults),
+FactorVAE batch/epoch doubling, and `results/<name>/` artifact layout.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import jax
+
+from disvae_tpu.data.datasets import DATASETS, get_dataloaders, get_img_size
+from disvae_tpu.models.vae import MODELS, init_specific_model
+from disvae_tpu.ops.losses import LOSSES, RECON_DIST, get_loss_f
+from disvae_tpu.ops.precision import PRECISIONS, configure
+from disvae_tpu.train.evaluate import Evaluator
+from disvae_tpu.train.trainer import Trainer
+from disvae_tpu.utils.helpers import (FormatterNoDuplicate,
+                                      create_safe_directory,
+                                      get_config_section, get_n_param,
+                                      set_seed, update_namespace_)
+from disvae_tpu.utils.modelIO import load_metadata, load_model, save_model
+from disvae_tpu.utils.visualize import GifTraversalsTraining
+
+CONFIG_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "hyperparam.ini")
+RES_DIR = "results"
+LOG_LEVELS = ["CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG", "NOTSET"]
+ADDITIONAL_EXP = ["custom", "debug", "best_celeba", "best_dsprites"]
+EXPERIMENTS = ADDITIONAL_EXP + ["{}_{}".format(loss, data)
+                                for loss in LOSSES
+                                for data in DATASETS]
+
+
+def parse_arguments(args_to_parse):
+    """Parse CLI arguments, then overlay the chosen experiment's INI layers."""
+    default_config = get_config_section([CONFIG_FILE], "Custom")
+
+    description = ("TPU-native (JAX) implementation and evaluation of "
+                   "disentangled Variational AutoEncoders and metrics.")
+    parser = argparse.ArgumentParser(description=description,
+                                     formatter_class=FormatterNoDuplicate)
+
+    general = parser.add_argument_group('General options')
+    general.add_argument('name', type=str,
+                         help="Name of the model for storing and loading purposes.")
+    general.add_argument('-L', '--log-level', help="Logging levels.",
+                         default=default_config['log_level'],
+                         choices=[l.lower() for l in LOG_LEVELS] + LOG_LEVELS)
+    general.add_argument('--no-progress-bar', action='store_true',
+                         default=default_config['no_progress_bar'],
+                         help='Disables progress bar.')
+    general.add_argument('--no-cuda', action='store_true',
+                         default=default_config['no_cuda'],
+                         help='Accepted for CLI compat; device choice is '
+                              'JAX platform driven.')
+    general.add_argument('-s', '--seed', type=int,
+                         default=default_config['seed'],
+                         help='Random seed. Can be `None` for stochastic behavior.')
+    general.add_argument('--precision', default="highest",
+                         choices=PRECISIONS,
+                         help='Matmul/conv precision on TPU: highest for '
+                              'reference parity, default for bf16 speed.')
+
+    training = parser.add_argument_group('Training specific options')
+    training.add_argument('--checkpoint-every', type=int,
+                          default=default_config['checkpoint_every'],
+                          help='Save a checkpoint of the trained model every n epoch.')
+    training.add_argument('-d', '--dataset',
+                          default=default_config['dataset'], choices=DATASETS,
+                          help="Path to training data.")
+    training.add_argument('-x', '--experiment',
+                          default=default_config['experiment'],
+                          choices=EXPERIMENTS,
+                          help='Predefined experiments to run. If not `custom` '
+                               'this will overwrite some other arguments.')
+    training.add_argument('-e', '--epochs', type=int,
+                          default=default_config['epochs'],
+                          help='Maximum number of epochs to run for.')
+    training.add_argument('-b', '--batch-size', type=int,
+                          default=default_config['batch_size'],
+                          help='Batch size for training.')
+    training.add_argument('--lr', type=float, default=default_config['lr'],
+                          help='Learning rate.')
+
+    model = parser.add_argument_group('Model specfic options')
+    model.add_argument('-m', '--model-type',
+                       default=default_config['model'], choices=MODELS,
+                       help='Type of encoder and decoder to use.')
+    model.add_argument('-z', '--latent-dim', type=int,
+                       default=default_config['latent_dim'],
+                       help='Dimension of the latent variable.')
+    model.add_argument('-l', '--loss',
+                       default=default_config['loss'], choices=LOSSES,
+                       help="Type of VAE loss function to use.")
+    model.add_argument('-r', '--rec-dist',
+                       default=default_config['rec_dist'], choices=RECON_DIST,
+                       help="Form of the likelihood ot use for each pixel.")
+    model.add_argument('-a', '--reg-anneal', type=float,
+                       default=default_config['reg_anneal'],
+                       help="Number of annealing steps where gradually adding "
+                            "the regularisation.")
+
+    betaH = parser.add_argument_group('BetaH specific parameters')
+    betaH.add_argument('--betaH-B', type=float,
+                       default=default_config['betaH_B'],
+                       help="Weight of the KL (beta in the paper).")
+
+    betaB = parser.add_argument_group('BetaB specific parameters')
+    betaB.add_argument('--betaB-initC', type=float,
+                       default=default_config['betaB_initC'],
+                       help="Starting annealed capacity.")
+    betaB.add_argument('--betaB-finC', type=float,
+                       default=default_config['betaB_finC'],
+                       help="Final annealed capacity.")
+    betaB.add_argument('--betaB-G', type=float,
+                       default=default_config['betaB_G'],
+                       help="Weight of the KL divergence term (gamma in the paper).")
+
+    factor = parser.add_argument_group('factor VAE specific parameters')
+    factor.add_argument('--factor-G', type=float,
+                        default=default_config['factor_G'],
+                        help="Weight of the TC term (gamma in the paper).")
+    factor.add_argument('--lr-disc', type=float,
+                        default=default_config['lr_disc'],
+                        help='Learning rate of the discriminator.')
+
+    btcvae = parser.add_argument_group('beta-tcvae specific parameters')
+    btcvae.add_argument('--btcvae-A', type=float,
+                        default=default_config['btcvae_A'],
+                        help="Weight of the MI term (alpha in the paper).")
+    btcvae.add_argument('--btcvae-G', type=float,
+                        default=default_config['btcvae_G'],
+                        help="Weight of the dim-wise KL term (gamma in the paper).")
+    btcvae.add_argument('--btcvae-B', type=float,
+                        default=default_config['btcvae_B'],
+                        help="Weight of the TC term (beta in the paper).")
+
+    evaluation = parser.add_argument_group('Evaluation specific options')
+    evaluation.add_argument('--is-eval-only', action='store_true',
+                            default=default_config['is_eval_only'],
+                            help='Whether to only evaluate using precomputed '
+                                 'model `name`.')
+    evaluation.add_argument('--is-metrics', action='store_true',
+                            default=default_config['is_metrics'],
+                            help="Whether to compute the disentangled metrcics. "
+                                 "Currently only possible with `dsprites`.")
+    evaluation.add_argument('--no-test', action='store_true',
+                            default=default_config['no_test'],
+                            help="Whether not to compute the test losses.")
+    evaluation.add_argument('--eval-batchsize', type=int,
+                            default=default_config['eval_batchsize'],
+                            help='Batch size for evaluation.')
+
+    args = parser.parse_args(args_to_parse)
+    if args.experiment != 'custom':
+        if args.experiment not in ADDITIONAL_EXP:
+            # layering: Common_<dataset> then Common_<loss>
+            loss, dataset = args.experiment.split("_")
+            update_namespace_(args, get_config_section(
+                [CONFIG_FILE], "Common_{}".format(dataset)))
+            update_namespace_(args, get_config_section(
+                [CONFIG_FILE], "Common_{}".format(loss)))
+        try:
+            update_namespace_(args, get_config_section([CONFIG_FILE],
+                                                       args.experiment))
+        except KeyError as e:
+            if args.experiment in ADDITIONAL_EXP:
+                raise e
+    return args
+
+
+def main(args):
+    formatter = logging.Formatter(
+        '%(asctime)s %(levelname)s - %(funcName)s: %(message)s', "%H:%M:%S")
+    logger = logging.getLogger(__name__)
+    logger.setLevel(args.log_level.upper())
+    stream = logging.StreamHandler()
+    stream.setLevel(args.log_level.upper())
+    stream.setFormatter(formatter)
+    logger.addHandler(stream)
+
+    configure(args.precision)
+    key = set_seed(args.seed)
+    if key is None:
+        import time
+        key = jax.random.PRNGKey(int(time.time()))
+    init_key, train_key, eval_key = jax.random.split(key, 3)
+
+    exp_dir = os.path.join(RES_DIR, args.name)
+    logger.info("Root directory for saving and loading experiments: {}"
+                .format(exp_dir))
+
+    if not args.is_eval_only:
+        create_safe_directory(exp_dir, logger=logger)
+
+        if args.loss == "factor":
+            logger.info("FactorVae needs 2 batches per iteration. To replicate "
+                        "this behavior while being consistent, we double the "
+                        "batch size and the the number of epochs.")
+            args.batch_size *= 2
+            args.epochs *= 2
+
+        train_loader = get_dataloaders(args.dataset,
+                                       batch_size=args.batch_size,
+                                       logger=logger, seed=args.seed)
+        logger.info("Train {} with {} samples".format(
+            args.dataset, len(train_loader.dataset)))
+
+        args.img_size = get_img_size(args.dataset)
+        model, params = init_specific_model(args.model_type, args.img_size,
+                                            args.latent_dim, key=init_key)
+        logger.info('Num parameters in model: {}'.format(get_n_param(params)))
+
+        gif_visualizer = GifTraversalsTraining(model, args.dataset, exp_dir)
+        loss_f = get_loss_f(args.loss,
+                            n_data=len(train_loader.dataset),
+                            device=None,
+                            **vars(args))
+        trainer = Trainer(model, params, loss_f, lr=args.lr,
+                          rng=train_key,
+                          logger=logger,
+                          save_dir=exp_dir,
+                          is_progress_bar=not args.no_progress_bar,
+                          gif_visualizer=gif_visualizer)
+        trainer(train_loader,
+                epochs=args.epochs,
+                checkpoint_every=args.checkpoint_every)
+
+        # save the final model plus the full resolved config
+        save_model(trainer.model, trainer.params, exp_dir,
+                   metadata=vars(args))
+
+    if args.is_metrics or not args.no_test:
+        model, params = load_model(exp_dir)
+        metadata = load_metadata(exp_dir)
+        test_loader = get_dataloaders(metadata["dataset"],
+                                      batch_size=args.eval_batchsize,
+                                      shuffle=False,
+                                      logger=logger)
+        loss_f = get_loss_f(args.loss,
+                            n_data=len(test_loader.dataset),
+                            device=None,
+                            **vars(args))
+        evaluator = Evaluator(model, params, loss_f,
+                              rng=eval_key,
+                              logger=logger,
+                              save_dir=exp_dir,
+                              is_progress_bar=not args.no_progress_bar)
+        evaluator(test_loader, is_metrics=args.is_metrics,
+                  is_losses=not args.no_test)
+
+
+if __name__ == '__main__':
+    args = parse_arguments(sys.argv[1:])
+    main(args)

@@ -1,0 +1,67 @@
+"""Data pipeline tests (synthetic; real datasets are download-gated)."""
+
+import numpy as np
+import pytest
+
+from disvae_tpu.data.datasets import (ArrayDataset, DataLoader, DATASETS,
+                                      get_background, get_dataset,
+                                      get_img_size)
+
+
+def test_registry():
+    assert DATASETS == ["mnist", "fashion", "dsprites", "celeba", "chairs"]
+    assert get_img_size("mnist") == (1, 32, 32)
+    assert get_img_size("dsprites") == (1, 64, 64)
+    assert get_img_size("celeba") == (3, 64, 64)
+    assert get_background("dsprites") == 0
+    assert get_background("celeba") == 1
+    with pytest.raises(ValueError):
+        get_dataset("imagenet")
+
+
+def test_dsprites_metadata():
+    ds = get_dataset("dsprites")
+    assert list(ds.lat_sizes) == [3, 6, 40, 32, 32]
+    assert ds.lat_names == ("shape", "scale", "orientation", "posX", "posY")
+
+
+def test_loader_batching():
+    imgs = (np.random.RandomState(0).rand(50, 32, 32, 1) * 255).astype(
+        np.uint8)
+    ds = ArrayDataset(imgs)
+    loader = DataLoader(ds, batch_size=16, shuffle=False)
+    assert len(loader) == 4  # partial final batch kept
+    batches = list(loader)
+    assert batches[0][0].shape == (16, 32, 32, 1)
+    assert batches[-1][0].shape == (2, 32, 32, 1)
+    assert batches[0][0].dtype == np.float32
+    assert batches[0][0].max() <= 1.0 and batches[0][0].min() >= 0.0
+
+
+def test_loader_shuffle_reproducible():
+    imgs = np.arange(40, dtype=np.uint8).reshape(40, 1, 1, 1) * 6
+    l1 = DataLoader(ArrayDataset(imgs), batch_size=8, shuffle=True, seed=3)
+    l2 = DataLoader(ArrayDataset(imgs), batch_size=8, shuffle=True, seed=3)
+    b1 = np.concatenate([b for b, _ in l1])
+    b2 = np.concatenate([b for b, _ in l2])
+    assert np.array_equal(b1, b2)
+    # second epoch differs from the first
+    b1b = np.concatenate([b for b, _ in l1])
+    assert not np.array_equal(b1, b1b)
+
+
+def test_loader_drop_last():
+    imgs = np.zeros((50, 8, 8, 1), np.uint8)
+    loader = DataLoader(ArrayDataset(imgs), batch_size=16, drop_last=True)
+    assert len(loader) == 3
+    assert all(b.shape[0] == 16 for b, _ in loader)
+
+
+def test_array_dataset_factors():
+    """ArrayDataset can carry factor metadata for metric tests."""
+    lat_sizes = [2, 3]
+    imgs = np.zeros((6, 8, 8, 1), np.uint8)
+    ds = ArrayDataset(imgs, lat_sizes=lat_sizes, lat_names=("a", "b"))
+    assert list(ds.lat_sizes) == [2, 3]
+    img, lab = ds[3]
+    assert img.shape == (8, 8, 1)

@@ -1,0 +1,109 @@
+"""Shape/dtype/init tests for the Burgess VAE stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disvae_tpu.models.vae import VAE, init_specific_model
+from disvae_tpu.models.discriminator import Discriminator
+
+
+@pytest.mark.parametrize("img_size", [(1, 32, 32), (3, 64, 64)])
+def test_forward_shapes(rng_key, img_size):
+    model, params = init_specific_model("Burgess", img_size, 10, key=rng_key)
+    c, h, w = img_size
+    x = jnp.zeros((4, h, w, c))
+    recon, (mu, logvar), z = model.apply(params, x,
+                                         jax.random.PRNGKey(1), is_train=True)
+    assert recon.shape == (4, h, w, c)
+    assert mu.shape == (4, 10) and logvar.shape == (4, 10)
+    assert z.shape == (4, 10)
+    assert np.all(np.asarray(recon) >= 0) and np.all(np.asarray(recon) <= 1)
+
+
+def test_64_has_extra_conv(rng_key):
+    _, p32 = init_specific_model("Burgess", (1, 32, 32), 10, key=rng_key)
+    _, p64 = init_specific_model("Burgess", (1, 64, 64), 10, key=rng_key)
+    assert "conv_64" not in p32["encoder"] and "conv_64" in p64["encoder"]
+    assert "convT_64" not in p32["decoder"] and "convT_64" in p64["decoder"]
+
+
+def test_invalid_img_size():
+    with pytest.raises(RuntimeError):
+        VAE(img_size=(1, 16, 16), latent_dim=10)
+
+
+def test_invalid_model_type():
+    with pytest.raises(ValueError):
+        init_specific_model("NotAModel", (1, 32, 32), 10)
+
+
+def test_eval_reparam_is_mean(rng_key):
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=rng_key)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    mu, logvar = model.encode(params, x)
+    z_eval = model.reparameterize(mu, logvar, jax.random.PRNGKey(3),
+                                  is_train=False)
+    assert np.allclose(np.asarray(z_eval), np.asarray(mu))
+    z_train = model.reparameterize(mu, logvar, jax.random.PRNGKey(3),
+                                   is_train=True)
+    assert not np.allclose(np.asarray(z_train), np.asarray(mu))
+
+
+def test_reparam_distribution(rng_key):
+    """z = mu + sigma*eps: check empirical moments."""
+    model = VAE(img_size=(1, 32, 32), latent_dim=10)
+    mu = jnp.full((20000, 10), 2.0)
+    logvar = jnp.full((20000, 10), jnp.log(4.0))
+    z = model.reparameterize(mu, logvar, jax.random.PRNGKey(0), is_train=True)
+    z = np.asarray(z)
+    assert abs(z.mean() - 2.0) < 0.02
+    assert abs(z.std() - 2.0) < 0.02
+
+
+def test_init_matches_torch_bounds(rng_key):
+    """Kaiming-uniform relu bounds: |w| <= sqrt(6/fan_in), and the empirical
+    std is near the uniform's sqrt(2/fan_in)."""
+    _, params = init_specific_model("Burgess", (1, 32, 32), 10, key=rng_key)
+    w = np.asarray(params["encoder"]["conv2"]["w"])  # (4,4,32,32)
+    fan_in = 32 * 16
+    bound = np.sqrt(6.0 / fan_in)
+    assert np.abs(w).max() <= bound
+    assert abs(w.std() - bound / np.sqrt(3)) < 0.005
+    # linear
+    wl = np.asarray(params["encoder"]["lin1"]["w"])  # (512, 256)
+    bound_l = np.sqrt(6.0 / 512)
+    assert np.abs(wl).max() <= bound_l
+    # convT fan-in uses OUT channels (torch quirk)
+    wt = np.asarray(params["decoder"]["convT3"]["w"])  # (4,4,32,1)
+    bound_t = np.sqrt(6.0 / (1 * 16))
+    assert np.abs(wt).max() <= bound_t
+    assert np.abs(wt).max() > bound_t * 0.9  # actually fills the range
+
+
+def test_discriminator(rng_key):
+    disc = Discriminator(latent_dim=10)
+    params = disc.init(rng_key)
+    out = disc.apply(params, jnp.zeros((6, 10)))
+    assert out.shape == (6, 2)
+    assert len(params) == 6
+    assert params["lin2"]["w"].shape == (1000, 1000)
+
+
+def test_n_params(rng_key):
+    """Parameter count must equal the torch reference's Burgess VAE."""
+    from disvae_tpu.utils.helpers import get_n_param
+    _, params = init_specific_model("Burgess", (1, 32, 32), 10, key=rng_key)
+    # torch: conv stack + fcs, mnist 32x32 => 469,173 params... compute
+    # independently: encoder convs 3*(32*prev*16+32), fcs.
+    def conv_p(cin, cout):
+        return cout * cin * 16 + cout
+
+    expected = (conv_p(1, 32) + conv_p(32, 32) + conv_p(32, 32)
+                + (512 * 256 + 256) + (256 * 256 + 256)
+                + (256 * 20 + 20)
+                + (10 * 256 + 256) + (256 * 256 + 256) + (256 * 512 + 512)
+                + conv_p(32, 32) + conv_p(32, 32) + conv_p(32, 1))
+    assert get_n_param(params) == expected

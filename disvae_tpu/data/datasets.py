@@ -153,9 +153,17 @@ class BaseDataset(abc.ABC):
         return img, self.labels[idx]
 
     def get_batch(self, idcs):
-        """Gather a batch: float32 (B, H, W, C) in [0,1] plus labels."""
+        """Gather a batch: float32 (B, H, W, C) in [0,1] plus labels.
+
+        Uses the native fused gather+convert (disvae_tpu/native) when the
+        backing store is a C-contiguous uint8 array/memmap; numpy otherwise."""
         idcs = np.asarray(idcs)
-        imgs = np.asarray(self.imgs[idcs], np.float32) * self._scale
+        imgs = None
+        if self.imgs.dtype == np.uint8 and self.imgs.flags["C_CONTIGUOUS"]:
+            from disvae_tpu import native
+            imgs = native.gather_u8_to_f32(self.imgs, idcs, self._scale)
+        if imgs is None:
+            imgs = np.asarray(self.imgs[idcs], np.float32) * self._scale
         return imgs, np.asarray(self.labels[idcs])
 
 

@@ -20,6 +20,7 @@ from timeit import default_timer
 import jax
 import numpy as np
 
+from disvae_tpu.data.prefetch import DevicePrefetcher
 from disvae_tpu.models.discriminator import Discriminator
 from disvae_tpu.ops.losses import RECORD_LOSS_EVERY, metric_key_order
 from disvae_tpu.train.state import create_train_state
@@ -129,14 +130,17 @@ class Trainer:
         pending = None  # metric vector of the previously dispatched step
         host_metrics = []
 
-        iterator = data_loader
+        sharding = None
+        if self.mesh is not None:
+            from disvae_tpu.parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
+        iterator = DevicePrefetcher(data_loader, sharding=sharding)
         if self.is_progress_bar:
             from tqdm import tqdm
-            iterator = tqdm(data_loader, desc="Epoch {}".format(epoch + 1),
-                            leave=False)
+            iterator = tqdm(iterator, desc="Epoch {}".format(epoch + 1),
+                            leave=False, total=len(data_loader))
 
-        for data, _ in iterator:
-            batch = jax.device_put(np.asarray(data))
+        for batch, _ in iterator:
             self.state, metrics = self._train_step(self.state, batch)
             vec = stack_metrics(metrics, self.metric_keys)
             if pending is not None:

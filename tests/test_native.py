@@ -1,0 +1,60 @@
+"""Native gather kernel + prefetcher tests."""
+
+import numpy as np
+import pytest
+
+from disvae_tpu import native
+from disvae_tpu.data.datasets import ArrayDataset, DataLoader
+from disvae_tpu.data.prefetch import DevicePrefetcher
+
+
+def test_native_gather_matches_numpy():
+    lib = native._load()
+    if not lib:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (100, 17, 13, 3), np.uint8)
+    idcs = rng.randint(0, 100, 37)
+    got = native.gather_u8_to_f32(imgs, idcs, 1.0 / 255.0)
+    expect = imgs[idcs].astype(np.float32) / 255.0
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_native_gather_on_memmap(tmp_path):
+    lib = native._load()
+    if not lib:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, (64, 8, 8, 1), np.uint8)
+    p = str(tmp_path / "imgs.npy")
+    np.save(p, arr)
+    mm = np.load(p, mmap_mode="r")
+    idcs = np.asarray([5, 0, 63, 5])
+    got = native.gather_u8_to_f32(mm, idcs, 1.0)
+    np.testing.assert_array_equal(got, arr[idcs].astype(np.float32))
+
+
+def test_prefetcher_matches_loader():
+    imgs = (np.random.RandomState(0).rand(50, 8, 8, 1) * 255).astype(np.uint8)
+    loader = DataLoader(ArrayDataset(imgs), batch_size=16, shuffle=True,
+                        seed=7)
+    direct = [np.asarray(b) for b, _ in loader]
+    loader2 = DataLoader(ArrayDataset(imgs), batch_size=16, shuffle=True,
+                         seed=7)
+    prefetched = [np.asarray(b) for b, _ in DevicePrefetcher(loader2)]
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_prefetcher_propagates_errors():
+    class Boom:
+        def __iter__(self):
+            raise RuntimeError("io failure")
+
+        def __len__(self):
+            return 0
+
+    with pytest.raises(RuntimeError, match="io failure"):
+        list(DevicePrefetcher(Boom()))

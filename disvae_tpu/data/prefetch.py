@@ -12,6 +12,7 @@ import queue
 import threading
 
 import jax
+import numpy as np
 
 
 class DevicePrefetcher:
@@ -20,12 +21,21 @@ class DevicePrefetcher:
     Wraps any iterable yielding (images, labels) numpy pairs. Labels stay on
     host (the train step never consumes them). Exceptions in the worker are
     re-raised at the consuming site.
+
+    With `superbatch_k > 1`, runs of `k` equal-shaped batches are stacked
+    into one (k, B, ...) array per transfer — the input format of the
+    lax.scan super-step (train/steps.py make_multi_train_step). Ragged
+    leftovers (end of epoch, partial final batch) come through unstacked as
+    plain (B, ...) batches; consumers distinguish the two by ndim.
     """
 
-    def __init__(self, loader, depth=2, sharding=None):
+    def __init__(self, loader, depth=2, sharding=None, superbatch_k=1,
+                 super_sharding=None):
         self.loader = loader
         self.depth = depth
         self.sharding = sharding
+        self.superbatch_k = superbatch_k
+        self.super_sharding = super_sharding
 
     def __len__(self):
         return len(self.loader)
@@ -34,18 +44,40 @@ class DevicePrefetcher:
     def dataset(self):
         return self.loader.dataset
 
+    def _put(self, x, sharding):
+        return jax.device_put(x, sharding) if sharding is not None \
+            else jax.device_put(x)
+
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)
         _END = object()
+        k = self.superbatch_k
+
+        def flush(group):
+            if len(group) == k and k > 1:
+                imgs = np.stack([g[0] for g in group])
+                labels = np.stack([g[1] for g in group])
+                q.put((self._put(imgs, self.super_sharding), labels))
+            else:
+                for imgs, labels in group:
+                    q.put((self._put(imgs, self.sharding), labels))
 
         def worker():
             try:
+                group = []
                 for imgs, labels in self.loader:
-                    if self.sharding is not None:
-                        dev = jax.device_put(imgs, self.sharding)
-                    else:
-                        dev = jax.device_put(imgs)
-                    q.put((dev, labels))
+                    if k <= 1:
+                        q.put((self._put(imgs, self.sharding), labels))
+                        continue
+                    if group and group[0][0].shape != imgs.shape:
+                        flush(group)
+                        group = []
+                    group.append((imgs, labels))
+                    if len(group) == k:
+                        flush(group)
+                        group = []
+                if group:
+                    flush(group)
             except BaseException as e:  # surface worker errors to consumer
                 q.put(e)
                 return

@@ -90,6 +90,18 @@ def make_sharded_train_step(step_fn, mesh, donate=True):
                    donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_multi_train_step(multi_fn, mesh, donate=True):
+    """Sharded K-step super-step: batches are (K, B, ...) with B split over
+    'data' (scan iterates the leading axis; each scanned batch keeps the
+    per-step sharding)."""
+    rep = replicate(mesh)
+    bsh = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(multi_fn,
+                   in_shardings=(rep, bsh),
+                   out_shardings=(rep, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_sharded_eval_step(eval_fn, mesh):
     """Same layout for the (params, disc_params, batch) -> metrics step."""
     rep = replicate(mesh)

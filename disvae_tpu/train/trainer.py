@@ -25,11 +25,12 @@ from disvae_tpu.models.discriminator import Discriminator
 from disvae_tpu.ops.losses import RECORD_LOSS_EVERY, metric_key_order
 from disvae_tpu.train.state import create_train_state
 from disvae_tpu.train.steps import (make_disc_optimizer, make_eval_step,
-                                    make_optimizer, make_train_step,
-                                    stack_metrics)
+                                    make_multi_train_step, make_optimizer,
+                                    make_train_step, stack_metrics)
 from disvae_tpu.utils.modelIO import save_model
 
 TRAIN_LOSSES_LOGFILE = "train_losses.log"
+CKPT_FILE = "train_state.msgpack"
 
 
 class Trainer:
@@ -58,16 +59,20 @@ class Trainer:
                  save_dir="results",
                  gif_visualizer=None,
                  is_progress_bar=True,
-                 mesh=None):
+                 mesh=None,
+                 steps_per_dispatch=16,
+                 resume=False):
         self.model = model
         self.loss_f = loss_f
         self.save_dir = save_dir
         self.logger = logger
         self.is_progress_bar = is_progress_bar
         self.gif_visualizer = gif_visualizer
+        self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.losses_logger = LossesLogger(
-            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE))
+            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE), append=resume)
         self.mesh = mesh
+        self._start_epoch = 0
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -88,7 +93,13 @@ class Trainer:
                                            disc=disc,
                                            disc_optimizer=disc_optimizer,
                                            mesh=mesh)
+        self._multi_step = make_multi_train_step(model, loss_f, optimizer,
+                                                 disc=disc,
+                                                 disc_optimizer=disc_optimizer,
+                                                 mesh=mesh)
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
+        if resume:
+            self.load_checkpoint()
         self.logger.info("Training Device: {}".format(
             jax.devices()[0].platform))
 
@@ -96,10 +107,51 @@ class Trainer:
     def params(self):
         return self.state.params
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (full training state, atomic)
+    #
+    # The reference only persists weights (model-<i>.pt, modelIO.py:14-42)
+    # and has no resume path at all (SURVEY.md section 5). Here the FULL
+    # functional state — params, flattened Adam moments, discriminator +
+    # its Adam, the step counter, and the PRNG key — serializes to one
+    # msgpack written atomically (tmp + rename), so a preempted run
+    # continues bit-exactly.
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, epoch):
+        import flax.serialization
+
+        payload = {"next_epoch": epoch + 1,
+                   "state": flax.serialization.to_state_dict(
+                       jax.device_get(self.state))}
+        path = os.path.join(self.save_dir, CKPT_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(payload))
+        os.replace(tmp, path)
+
+    def load_checkpoint(self):
+        """Restore state from save_dir; returns the epoch to resume at
+        (0 when no checkpoint exists)."""
+        import flax.serialization
+
+        path = os.path.join(self.save_dir, CKPT_FILE)
+        if not os.path.isfile(path):
+            return 0
+        with open(path, "rb") as f:
+            payload = flax.serialization.msgpack_restore(f.read())
+        self.state = flax.serialization.from_state_dict(self.state,
+                                                        payload["state"])
+        self._start_epoch = int(payload["next_epoch"])
+        self.logger.info("Resuming from checkpoint at epoch {}."
+                         .format(self._start_epoch))
+        return self._start_epoch
+
     def __call__(self, data_loader, epochs=10, checkpoint_every=10):
         start = default_timer()
         n_images = 0
-        for epoch in range(epochs):
+        start_epoch = self._start_epoch
+        for epoch in range(start_epoch, epochs):
             mean_epoch_loss, storer = self._train_epoch(data_loader, epoch)
             n_images += len(data_loader.dataset)
             self.logger.info("Epoch: {} Average loss per image: {:.2f}"
@@ -112,6 +164,7 @@ class Trainer:
             if epoch % checkpoint_every == 0:
                 save_model(self.model, self.state.params, self.save_dir,
                            filename="model-{}.npz".format(epoch))
+                self.save_checkpoint(epoch)
 
         if self.gif_visualizer is not None:
             self.gif_visualizer.save_reset()
@@ -126,32 +179,38 @@ class Trainer:
     def _train_epoch(self, data_loader, epoch):
         """One epoch. Returns (mean loss over all steps, storer dict of means
         over recorded steps)."""
-        base_step = int(self.state.step)
-        pending = None  # metric vector of the previously dispatched step
-        host_metrics = []
+        import jax.numpy as jnp
 
-        sharding = None
+        base_step = int(self.state.step)
+        device_metrics = []  # on-device (n_keys,) or (K, n_keys) rows
+
+        sharding = super_sharding = None
         if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from disvae_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
-        iterator = DevicePrefetcher(data_loader, sharding=sharding)
+            super_sharding = NamedSharding(self.mesh, P(None, "data"))
+        iterator = DevicePrefetcher(data_loader, sharding=sharding,
+                                    superbatch_k=self.steps_per_dispatch,
+                                    super_sharding=super_sharding)
         if self.is_progress_bar:
             from tqdm import tqdm
             iterator = tqdm(iterator, desc="Epoch {}".format(epoch + 1),
                             leave=False, total=len(data_loader))
 
         for batch, _ in iterator:
-            self.state, metrics = self._train_step(self.state, batch)
-            vec = stack_metrics(metrics, self.metric_keys)
-            if pending is not None:
-                host_metrics.append(np.asarray(pending))
-            pending = vec
-        if pending is not None:
-            host_metrics.append(np.asarray(pending))
+            if batch.ndim == 5:  # (K, B, H, W, C) super-step
+                self.state, metrics = self._multi_step(self.state, batch)
+            else:
+                self.state, metrics = self._train_step(self.state, batch)
+            device_metrics.append(stack_metrics(metrics, self.metric_keys))
 
-        if not host_metrics:
+        if not device_metrics:
             return float("nan"), {}
-        all_metrics = np.stack(host_metrics)  # (n_steps, n_keys)
+        # ONE device->host transfer per epoch: per-step metric fetches would
+        # pay the full host<->chip round-trip latency every iteration.
+        all_metrics = np.asarray(jnp.concatenate(
+            [m if m.ndim == 2 else m[None] for m in device_metrics], axis=0))
         steps = base_step + 1 + np.arange(all_metrics.shape[0])
         recorded = (steps % RECORD_LOSS_EVERY) == 1
         loss_idx = self.metric_keys.index("loss")
@@ -168,13 +227,15 @@ class LossesLogger:
     """CSV metric log, byte-compatible with the reference's
     `train_losses.log` (training.py:167-196): header `Epoch,Loss,Value`, one
     row per (epoch, key, mean-over-recorded-steps). Any pre-existing file is
-    replaced."""
+    replaced unless `append` (resume) is set."""
 
-    def __init__(self, file_path_name):
-        if os.path.isfile(file_path_name):
-            os.remove(file_path_name)
+    def __init__(self, file_path_name, append=False):
         self.path = file_path_name
         os.makedirs(os.path.dirname(file_path_name) or ".", exist_ok=True)
+        if append and os.path.isfile(file_path_name):
+            return
+        if os.path.isfile(file_path_name):
+            os.remove(file_path_name)
         with open(self.path, "w") as f:
             f.write("Epoch,Loss,Value\n")
 

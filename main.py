@@ -65,6 +65,17 @@ def parse_arguments(args_to_parse):
                          choices=PRECISIONS,
                          help='Matmul/conv precision on TPU: highest for '
                               'reference parity, default for bf16 speed.')
+    general.add_argument('--resume', action='store_true', default=False,
+                         help='Resume training from the train_state.msgpack '
+                              'checkpoint in the results directory (exact '
+                              'state: weights, optimizer moments, step '
+                              'counter, RNG).')
+    general.add_argument('--profile', action='store_true', default=False,
+                         help='Write a jax.profiler trace of the training '
+                              'run to results/<name>/profile/.')
+    general.add_argument('--debug-nans', action='store_true', default=False,
+                         help='Enable jax_debug_nans: error out on the first '
+                              'NaN produced on device.')
 
     training = parser.add_argument_group('Training specific options')
     training.add_argument('--checkpoint-every', type=int,
@@ -185,6 +196,8 @@ def main(args):
     logger.addHandler(stream)
 
     configure(args.precision)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     key = set_seed(args.seed)
     if key is None:
         import time
@@ -196,7 +209,10 @@ def main(args):
                 .format(exp_dir))
 
     if not args.is_eval_only:
-        create_safe_directory(exp_dir, logger=logger)
+        if not args.resume:
+            create_safe_directory(exp_dir, logger=logger)
+        else:
+            os.makedirs(exp_dir, exist_ok=True)
 
         if args.loss == "factor":
             logger.info("FactorVae needs 2 batches per iteration. To replicate "
@@ -226,10 +242,19 @@ def main(args):
                           logger=logger,
                           save_dir=exp_dir,
                           is_progress_bar=not args.no_progress_bar,
-                          gif_visualizer=gif_visualizer)
-        trainer(train_loader,
-                epochs=args.epochs,
-                checkpoint_every=args.checkpoint_every)
+                          gif_visualizer=gif_visualizer,
+                          resume=args.resume)
+        if args.profile:
+            profile_dir = os.path.join(exp_dir, "profile")
+            with jax.profiler.trace(profile_dir):
+                trainer(train_loader,
+                        epochs=args.epochs,
+                        checkpoint_every=args.checkpoint_every)
+            logger.info("Profiler trace written to {}".format(profile_dir))
+        else:
+            trainer(train_loader,
+                    epochs=args.epochs,
+                    checkpoint_every=args.checkpoint_every)
 
         # save the final model plus the full resolved config
         save_model(trainer.model, trainer.params, exp_dir,

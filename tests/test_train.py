@@ -103,3 +103,73 @@ def test_factor_evaluator(tmp_path, tiny_dataset):
     _, losses = ev(loader, is_metrics=False, is_losses=True)
     # eval path: no discriminator loss recorded (reference returns early)
     assert "discrim_loss" not in losses and "tc_loss" in losses
+
+
+@pytest.mark.parametrize("loss_cfg", [
+    L.BetaHLoss(beta=4, steps_anneal=5),
+    L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0),
+], ids=["betaH", "factor"])
+def test_scan_superstep_matches_single_step(tmp_path, tiny_dataset, loss_cfg):
+    """A K-step lax.scan super-step must be numerically identical to K
+    individual dispatches (same RNG threading, same step counter)."""
+    def run(k):
+        loader = DataLoader(tiny_dataset, batch_size=16, shuffle=True, seed=0)
+        model, params = init_specific_model("Burgess", tiny_dataset.img_size,
+                                            10, key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, loss_cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1),
+                          save_dir=str(tmp_path), is_progress_bar=False,
+                          steps_per_dispatch=k)
+        loss, storer = trainer._train_epoch(loader, 0)
+        return loss, storer, trainer.state
+
+    loss1, storer1, state1 = run(1)
+    loss3, storer3, state3 = run(3)  # 6 batches -> 2 supersteps of 3
+    assert loss1 == pytest.approx(loss3, rel=1e-5)
+    assert set(storer1) == set(storer3)
+    for k in storer1:
+        assert storer1[k] == pytest.approx(storer3[k], rel=1e-4, abs=1e-6)
+    assert int(state1.step) == int(state3.step) == 6
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p3 = jax.tree_util.tree_leaves(state3.params)
+    for a, b in zip(p1, p3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_resume_bitexact(tmp_path, tiny_dataset):
+    """Training 4 epochs straight == training 2, resuming, training 2 more."""
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+
+    def fresh(save_dir, resume=False):
+        model, params = init_specific_model("Burgess", tiny_dataset.img_size,
+                                            10, key=jax.random.PRNGKey(0))
+        return Trainer(model, params, cfg, lr=1e-3,
+                       rng=jax.random.PRNGKey(1), save_dir=str(save_dir),
+                       is_progress_bar=False, resume=resume)
+
+    d1 = tmp_path / "straight"; d1.mkdir()
+    d2 = tmp_path / "resumed"; d2.mkdir()
+    loader = lambda: DataLoader(tiny_dataset, batch_size=16, shuffle=True,
+                                seed=0)
+
+    t_straight = fresh(d1)
+    t_straight(loader(), epochs=4, checkpoint_every=1)
+
+    t_a = fresh(d2)
+    t_a(loader(), epochs=2, checkpoint_every=1)
+    t_b = fresh(d2, resume=True)
+    assert t_b._start_epoch == 2
+    # the resumed loader must replay epochs 2,3's shuffles: advance it
+    lb = loader()
+    lb._epoch = 2
+    t_b(lb, epochs=4, checkpoint_every=1)
+
+    pa = jax.tree_util.tree_leaves(t_straight.state.params)
+    pb = jax.tree_util.tree_leaves(t_b.state.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert int(t_straight.state.step) == int(t_b.state.step)
+    # resume appended rather than truncating: epoch-0 rows exist exactly once
+    # (later epochs log nothing — no step hits the record-every-50 gate)
+    log = open(d2 / "train_losses.log").read()
+    assert log.count("\n0,loss,") == 1

@@ -47,20 +47,20 @@ def parse_arguments(args_to_parse):
 
     general = parser.add_argument_group('General options')
     general.add_argument('name', type=str,
-                         help="Name of the model for storing and loading purposes.")
-    general.add_argument('-L', '--log-level', help="Logging levels.",
+                         help="Run name; artifacts are read from and written to results/<name>/.")
+    general.add_argument('-L', '--log-level', help="Verbosity of the stderr logger.",
                          default=default_config['log_level'],
                          choices=[l.lower() for l in LOG_LEVELS] + LOG_LEVELS)
     general.add_argument('--no-progress-bar', action='store_true',
                          default=default_config['no_progress_bar'],
-                         help='Disables progress bar.')
+                         help='Turn off the per-epoch tqdm bar.')
     general.add_argument('--no-cuda', action='store_true',
                          default=default_config['no_cuda'],
                          help='Accepted for CLI compat; device choice is '
                               'JAX platform driven.')
     general.add_argument('-s', '--seed', type=int,
                          default=default_config['seed'],
-                         help='Random seed. Can be `None` for stochastic behavior.')
+                         help='Base PRNG seed; pass `None` to draw one from the clock.')
     general.add_argument('--precision', default="highest",
                          choices=PRECISIONS,
                          help='Matmul/conv precision on TPU: highest for '
@@ -80,92 +80,92 @@ def parse_arguments(args_to_parse):
     training = parser.add_argument_group('Training specific options')
     training.add_argument('--checkpoint-every', type=int,
                           default=default_config['checkpoint_every'],
-                          help='Save a checkpoint of the trained model every n epoch.')
+                          help='Epoch interval between model-<i>.npz snapshots.')
     training.add_argument('-d', '--dataset',
                           default=default_config['dataset'], choices=DATASETS,
-                          help="Path to training data.")
+                          help="Which registered dataset to train on.")
     training.add_argument('-x', '--experiment',
                           default=default_config['experiment'],
                           choices=EXPERIMENTS,
-                          help='Predefined experiments to run. If not `custom` '
-                               'this will overwrite some other arguments.')
+                          help='Named experiment whose INI sections overlay the '
+                               'other flags (anything but `custom` wins).')
     training.add_argument('-e', '--epochs', type=int,
                           default=default_config['epochs'],
-                          help='Maximum number of epochs to run for.')
+                          help='How many passes over the training set.')
     training.add_argument('-b', '--batch-size', type=int,
                           default=default_config['batch_size'],
-                          help='Batch size for training.')
+                          help='Images per optimizer step.')
     training.add_argument('--lr', type=float, default=default_config['lr'],
-                          help='Learning rate.')
+                          help='Adam step size for the VAE parameters.')
 
-    model = parser.add_argument_group('Model specfic options')
+    model = parser.add_argument_group('Model specific options')
     model.add_argument('-m', '--model-type',
                        default=default_config['model'], choices=MODELS,
-                       help='Type of encoder and decoder to use.')
+                       help='Architecture family for the encoder/decoder pair.')
     model.add_argument('-z', '--latent-dim', type=int,
                        default=default_config['latent_dim'],
-                       help='Dimension of the latent variable.')
+                       help='Size of the latent code z.')
     model.add_argument('-l', '--loss',
                        default=default_config['loss'], choices=LOSSES,
-                       help="Type of VAE loss function to use.")
+                       help="Objective used to train the VAE.")
     model.add_argument('-r', '--rec-dist',
                        default=default_config['rec_dist'], choices=RECON_DIST,
-                       help="Form of the likelihood ot use for each pixel.")
+                       help="Per-pixel reconstruction likelihood family.")
     model.add_argument('-a', '--reg-anneal', type=float,
                        default=default_config['reg_anneal'],
-                       help="Number of annealing steps where gradually adding "
-                            "the regularisation.")
+                       help="Steps over which the regularizer weight ramps "
+                            "linearly from 0 to its final value.")
 
     betaH = parser.add_argument_group('BetaH specific parameters')
     betaH.add_argument('--betaH-B', type=float,
                        default=default_config['betaH_B'],
-                       help="Weight of the KL (beta in the paper).")
+                       help="KL coefficient (the Higgins et al. beta).")
 
     betaB = parser.add_argument_group('BetaB specific parameters')
     betaB.add_argument('--betaB-initC', type=float,
                        default=default_config['betaB_initC'],
-                       help="Starting annealed capacity.")
+                       help="Capacity C at step 0.")
     betaB.add_argument('--betaB-finC', type=float,
                        default=default_config['betaB_finC'],
-                       help="Final annealed capacity.")
+                       help="Capacity C after annealing completes.")
     betaB.add_argument('--betaB-G', type=float,
                        default=default_config['betaB_G'],
-                       help="Weight of the KL divergence term (gamma in the paper).")
+                       help="Coefficient on |KL - C| (the Burgess et al. gamma).")
 
     factor = parser.add_argument_group('factor VAE specific parameters')
     factor.add_argument('--factor-G', type=float,
                         default=default_config['factor_G'],
-                        help="Weight of the TC term (gamma in the paper).")
+                        help="Coefficient on the adversarial TC estimate (Kim & Mnih gamma).")
     factor.add_argument('--lr-disc', type=float,
                         default=default_config['lr_disc'],
-                        help='Learning rate of the discriminator.')
+                        help='Adam step size for the FactorVAE discriminator.')
 
     btcvae = parser.add_argument_group('beta-tcvae specific parameters')
     btcvae.add_argument('--btcvae-A', type=float,
                         default=default_config['btcvae_A'],
-                        help="Weight of the MI term (alpha in the paper).")
+                        help="Coefficient on the index-code mutual information (Chen et al. alpha).")
     btcvae.add_argument('--btcvae-G', type=float,
                         default=default_config['btcvae_G'],
-                        help="Weight of the dim-wise KL term (gamma in the paper).")
+                        help="Coefficient on the dimension-wise KL (Chen et al. gamma).")
     btcvae.add_argument('--btcvae-B', type=float,
                         default=default_config['btcvae_B'],
-                        help="Weight of the TC term (beta in the paper).")
+                        help="Coefficient on the total correlation (Chen et al. beta).")
 
     evaluation = parser.add_argument_group('Evaluation specific options')
     evaluation.add_argument('--is-eval-only', action='store_true',
                             default=default_config['is_eval_only'],
-                            help='Whether to only evaluate using precomputed '
-                                 'model `name`.')
+                            help='Skip training; run evaluation on the saved model '
+                                 'in results/<name>/.')
     evaluation.add_argument('--is-metrics', action='store_true',
                             default=default_config['is_metrics'],
-                            help="Whether to compute the disentangled metrcics. "
-                                 "Currently only possible with `dsprites`.")
+                            help="Also compute MIG/AAM (needs ground-truth factors, "
+                                 "i.e. dsprites).")
     evaluation.add_argument('--no-test', action='store_true',
                             default=default_config['no_test'],
-                            help="Whether not to compute the test losses.")
+                            help="Skip the test-loss pass.")
     evaluation.add_argument('--eval-batchsize', type=int,
                             default=default_config['eval_batchsize'],
-                            help='Batch size for evaluation.')
+                            help='Images per device call during evaluation.')
 
     args = parser.parse_args(args_to_parse)
     if args.experiment != 'custom':

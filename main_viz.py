@@ -26,48 +26,44 @@ def parse_arguments(args_to_parse):
                                      formatter_class=FormatterNoDuplicate)
 
     parser.add_argument('name', type=str,
-                        help="Name of the model for storing and loading purposes.")
+                        help="Run whose results/<name>/ directory holds the trained model.")
     parser.add_argument("plots", type=str, nargs='+', choices=PLOT_TYPES,
-                        help="List of all plots to generate. `generate-samples`: "
-                             "random decoded samples. `data-samples` samples from "
-                             "the dataset. `reconstruct` first rnows//2 will be "
-                             "the original and rest will be the corresponding "
-                             "reconstructions. `traversals` traverses the most "
-                             "important rnows dimensions with ncols different "
-                             "samples from the prior or posterior. "
-                             "`reconstruct-traverse` first row for original, "
-                             "second are reconstructions, rest are traversals. "
-                             "`gif-traversals` grid of gifs where rows are "
-                             "latent dimensions, columns are examples, each gif "
-                             "shows posterior traversals. `all` runs every plot.")
+                        help="Plots to render. `generate-samples`: decode "
+                             "draws from the prior. `data-samples`: show raw "
+                             "dataset images. `reconstruct`: originals on the "
+                             "top half, their reconstructions below. "
+                             "`traversals`: one row per (KL-ranked) latent "
+                             "dimension, swept across ncols values. "
+                             "`reconstruct-traverse`: originals, then "
+                             "reconstructions, then the traversal rows. "
+                             "`gif-traversals`: animated per-image posterior "
+                             "sweeps arranged in a grid. `all`: everything.")
     parser.add_argument('-s', '--seed', type=int, default=None,
-                        help='Random seed. Can be `None` for stochastic behavior.')
+                        help='Base PRNG seed; `None` draws from the clock.')
     parser.add_argument('-r', '--n-rows', type=int, default=6,
-                        help='The number of rows to visualize (if applicable).')
+                        help='Grid rows (where the plot is a grid).')
     parser.add_argument('-c', '--n-cols', type=int, default=7,
-                        help='The number of columns to visualize (if applicable).')
+                        help='Grid columns (where the plot is a grid).')
     parser.add_argument('-t', '--max-traversal', default=2,
                         type=lambda v: check_bounds(v, lb=0, is_inclusive=False,
                                                     type=float,
                                                     name="max-traversal"),
-                        help='The maximum displacement induced by a latent '
-                             'traversal. Symmetrical traversals are assumed. '
-                             'If `m>=0.5` then uses absolute value traversal, '
-                             'if `m<0.5` uses a percentage of the distribution '
-                             '(quantile).')
+                        help='Half-width of each (symmetric) latent sweep: an '
+                             'absolute offset when >= 0.5, otherwise a '
+                             'Gaussian quantile.')
     parser.add_argument('-i', '--idcs', type=int, nargs='+', default=[],
-                        help='List of indices to of images to put at the '
-                             'begining of the samples.')
+                        help='Dataset indices pinned to the front of the '
+                             'sample batch.')
     parser.add_argument('-u', '--upsample-factor', default=1,
                         type=lambda v: check_bounds(v, lb=1, is_inclusive=True,
                                                     type=int,
                                                     name="upsample-factor"),
-                        help='The scale factor with which to upsample the '
-                             'image (if applicable).')
+                        help='Integer pixel-replication factor applied before '
+                             'grid assembly.')
     parser.add_argument('--is-show-loss', action='store_true',
-                        help='Displays the loss on the figures (if applicable).')
+                        help='Annotate rows with their per-dimension KL.')
     parser.add_argument('--is-posterior', action='store_true',
-                        help='Traverses the posterior instead of the prior.')
+                        help='Sweep around an encoded image instead of the prior mean.')
     return parser.parse_args(args_to_parse)
 
 

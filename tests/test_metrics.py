@@ -113,3 +113,19 @@ def test_metric_files_written(tmp_path):
     assert set(metrics) == {"MIG", "AAM"}
     assert os.path.exists(os.path.join(str(tmp_path), "metrics.log"))
     assert os.path.exists(os.path.join(str(tmp_path), "metric_helpers.pth"))
+
+
+def test_pallas_log_qz_matches_streaming():
+    """The Pallas online-logsumexp kernel (interpret mode on CPU) and the
+    MXU polynomial variant agree with the XLA streaming scan."""
+    from disvae_tpu.ops.pallas_kernels import log_qz, log_qz_mxu
+    rng = np.random.RandomState(0)
+    M, D, S = 700, 3, 300  # deliberately not multiples of the block sizes
+    mu = jnp.asarray(rng.randn(M, D).astype(np.float32))
+    lv = jnp.asarray((rng.randn(M, D) * 0.3).astype(np.float32))
+    v = jnp.asarray(rng.randn(D, S).astype(np.float32))
+    ref = np.asarray(_streaming_log_qz(v, mu, lv))
+    got = np.asarray(log_qz(v, mu, lv, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    got_mxu = np.asarray(log_qz_mxu(v, mu, lv, chunk=256, prec="highest"))
+    np.testing.assert_allclose(got_mxu, ref, atol=1e-3)

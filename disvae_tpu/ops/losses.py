@@ -75,6 +75,35 @@ def linear_annealing(init, fin, step, annealing_steps):
     return jnp.minimum(init + delta * step / annealing_steps, fin)
 
 
+@jax.custom_vjp
+def _bce_sum(recon, data):
+    """Summed binary cross-entropy with torch semantics in BOTH directions:
+    forward clamps each log at -100 (as F.binary_cross_entropy does when the
+    sigmoid saturates to exact 0/1 in f32); backward is
+    (r - d) / max(r * (1 - r), 1e-12) — NOT the gradient of the clamped
+    forward, which would silently zero saturated pixels and diverge from the
+    reference's training dynamics."""
+    log_r = jnp.maximum(jnp.log(recon), -100.0)
+    log_1mr = jnp.maximum(jnp.log1p(-recon), -100.0)
+    return -jnp.sum(data * log_r + (1 - data) * log_1mr)
+
+
+def _bce_sum_fwd(recon, data):
+    return _bce_sum(recon, data), (recon, data)
+
+
+def _bce_sum_bwd(res, g):
+    recon, data = res
+    grad_r = (recon - data) / jnp.maximum(recon * (1 - recon), 1e-12)
+    log_r = jnp.maximum(jnp.log(recon), -100.0)
+    log_1mr = jnp.maximum(jnp.log1p(-recon), -100.0)
+    grad_d = log_1mr - log_r
+    return (g * grad_r, g * grad_d)
+
+
+_bce_sum.defvjp(_bce_sum_fwd, _bce_sum_bwd)
+
+
 def reconstruction_loss(data, recon_data, distribution="bernoulli"):
     """Per-image negative log likelihood, summed over pixels and averaged over
     the batch (reference losses.py:394-449). data/recon: (N, H, W, C) in [0,1].
@@ -84,11 +113,7 @@ def reconstruction_loss(data, recon_data, distribution="bernoulli"):
     """
     batch_size = recon_data.shape[0]
     if distribution == "bernoulli":
-        # torch F.binary_cross_entropy clamps each log at -100, which matters
-        # when the sigmoid saturates to exactly 0/1 in float32.
-        log_r = jnp.maximum(jnp.log(recon_data), -100.0)
-        log_1mr = jnp.maximum(jnp.log1p(-recon_data), -100.0)
-        loss = -jnp.sum(data * log_r + (1 - data) * log_1mr)
+        loss = _bce_sum(recon_data, data)
     elif distribution == "gaussian":
         loss = jnp.sum((recon_data * 255 - data * 255) ** 2) / 255
     elif distribution == "laplace":

@@ -165,3 +165,47 @@ def test_btcvae_estimator_parity():
 
     for o, t in zip(ours, [log_pz, log_qz, log_prod_qzi, log_q_zCx]):
         assert np.allclose(o, t.numpy(), atol=1e-4), (o, t.numpy())
+
+
+@pytest.mark.skipif(not has_reference_results(),
+                    reason="reference checkpoints unavailable")
+def test_gradient_parity_on_shipped_checkpoint():
+    """Full backward-pass parity: d(betaH loss)/d(params) computed by JAX on
+    the converted weights must match torch autograd through an inline
+    re-implementation of the reference forward (eval mode, z = mu, so no RNG
+    enters the comparison)."""
+    path = os.path.join(REFERENCE_RESULTS, "VAE_mnist", "model.pt")
+    sd = {k: v.clone().requires_grad_(True)
+          for k, v in torch.load(path, map_location="cpu",
+                                 weights_only=True).items()}
+    x = np.random.RandomState(1).rand(4, 1, 32, 32).astype(np.float32)
+    beta = 4.0
+
+    # torch side
+    mu_t, lv_t, rec_t = _torch_burgess_forward(sd, torch.from_numpy(x))
+    rec_loss = F.binary_cross_entropy(rec_t, torch.from_numpy(x),
+                                      reduction="sum") / 4
+    kl = (0.5 * (-1 - lv_t + mu_t.pow(2) + lv_t.exp()).mean(dim=0)).sum()
+    (rec_loss + beta * kl).backward()
+
+    # jax side
+    params = jax.tree_util.tree_map(jnp.asarray, load_torch_checkpoint(path))
+    model = init_specific_model("Burgess", (1, 32, 32), 10)
+    cfg = L.BetaHLoss(beta=beta, steps_anneal=0)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+    def loss_fn(p):
+        recon, latent_dist, z = model.apply(p, x_nhwc, rng=None,
+                                            is_train=False)
+        loss, _ = cfg(x_nhwc, recon, latent_dist, False, 0, latent_sample=z)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    grads_sd = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, grads))
+
+    for k in sd:
+        got = grads_sd[k].numpy()
+        expect = sd[k].grad.numpy()
+        scale = max(np.abs(expect).max(), 1e-3)
+        assert np.abs(got - expect).max() / scale < 1e-3, k

@@ -53,8 +53,21 @@ def init_encoder(key, img_size, latent_dim, dtype=jnp.float32):
     return params
 
 
-def apply_encoder(params, x, latent_dim):
-    """Encode a batch. x: (N, H, W, C) in [0, 1]. Returns (mu, logvar)."""
+def _cast_tree(params, dtype):
+    if dtype is None:
+        return params
+    return jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+
+
+def apply_encoder(params, x, latent_dim, compute_dtype=None):
+    """Encode a batch. x: (N, H, W, C) in [0, 1]. Returns (mu, logvar) in
+    float32. With compute_dtype=bfloat16 the conv/FC stack runs with bf16
+    activations AND weights; heads and losses stay f32. Measured neutral on
+    v5e at b256-b1024 (the 32-channel convs underfill the 128-wide MXU
+    either way) — provided for larger derived models, not as a default."""
+    params = _cast_tree(params, compute_dtype)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     h = jax.nn.relu(conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
     h = jax.nn.relu(conv2d(h, params["conv2"]["w"], params["conv2"]["b"]))
     h = jax.nn.relu(conv2d(h, params["conv3"]["w"], params["conv3"]["b"]))
@@ -65,7 +78,7 @@ def apply_encoder(params, x, latent_dim):
     h = jnp.transpose(h, (0, 3, 1, 2)).reshape(h.shape[0], -1)
     h = jax.nn.relu(linear(h, params["lin1"]))
     h = jax.nn.relu(linear(h, params["lin2"]))
-    mu_logvar = linear(h, params["mu_logvar_gen"])
+    mu_logvar = linear(h, params["mu_logvar_gen"]).astype(jnp.float32)
     # Interleaved (mu, logvar) pairs, split as in the reference's
     # view(-1, latent_dim, 2).unbind(-1) (encoders.py:86-88).
     mu_logvar = mu_logvar.reshape(-1, latent_dim, 2)
@@ -94,8 +107,12 @@ def init_decoder(key, img_size, latent_dim, dtype=jnp.float32):
     return params
 
 
-def apply_decoder(params, z):
-    """Decode latents. z: (N, latent_dim). Returns (N, H, W, C) in (0, 1)."""
+def apply_decoder(params, z, compute_dtype=None):
+    """Decode latents. z: (N, latent_dim). Returns (N, H, W, C) in (0, 1),
+    float32 (the sigmoid and the reconstruction loss stay full precision)."""
+    params = _cast_tree(params, compute_dtype)
+    if compute_dtype is not None:
+        z = z.astype(compute_dtype)
     h = jax.nn.relu(linear(z, params["lin1"]))
     h = jax.nn.relu(linear(h, params["lin2"]))
     h = jax.nn.relu(linear(h, params["lin3"]))
@@ -110,5 +127,6 @@ def apply_decoder(params, z):
     h = jax.nn.relu(conv2d_transpose(h, params["convT2"]["w"],
                                      params["convT2"]["b"]))
     h = jax.nn.sigmoid(conv2d_transpose(h, params["convT3"]["w"],
-                                        params["convT3"]["b"]))
+                                        params["convT3"]["b"])
+                       .astype(jnp.float32))
     return h

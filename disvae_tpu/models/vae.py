@@ -19,7 +19,7 @@ MODELS = ["Burgess"]
 
 
 def init_specific_model(model_type, img_size, latent_dim, key=None,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, compute_dtype="float32"):
     """Build a (model, params) pair for `model_type`.
 
     Parity surface of reference disvae/models/vae.py:15-26; additionally takes
@@ -31,7 +31,7 @@ def init_specific_model(model_type, img_size, latent_dim, key=None,
         raise ValueError("Unkown model_type={}. Possible values: {}"
                          .format(model_type, MODELS))
     model = VAE(img_size=tuple(img_size), latent_dim=latent_dim,
-                model_type=model_type)
+                model_type=model_type, compute_dtype=compute_dtype)
     if key is None:
         return model
     return model, model.init(key, dtype=dtype)
@@ -44,6 +44,9 @@ class VAE:
     img_size: tuple  # (C, H, W), channels-first in metadata as in reference
     latent_dim: int = 10
     model_type: str = "Burgess"
+    # "bfloat16" runs the conv/FC stacks with bf16 activations+weights
+    # (f32 heads/losses); see burgess.apply_encoder for measurements.
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         burgess._is_64(self.img_size)  # validates 32^2 / 64^2
@@ -61,11 +64,18 @@ class VAE:
                                             self.latent_dim, dtype),
         }
 
+    @property
+    def _cdtype(self):
+        return None if self.compute_dtype == "float32" else \
+            jnp.dtype(self.compute_dtype)
+
     def encode(self, params, x):
-        return burgess.apply_encoder(params["encoder"], x, self.latent_dim)
+        return burgess.apply_encoder(params["encoder"], x, self.latent_dim,
+                                     compute_dtype=self._cdtype)
 
     def decode(self, params, z):
-        return burgess.apply_decoder(params["decoder"], z)
+        return burgess.apply_decoder(params["decoder"], z,
+                                     compute_dtype=self._cdtype)
 
     def reparameterize(self, mean, logvar, rng=None, is_train=True):
         """Train: mu + exp(logvar/2) * eps; eval: mu (reference vae.py:52-71)."""

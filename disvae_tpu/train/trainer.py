@@ -151,6 +151,30 @@ class Trainer:
         start = default_timer()
         n_images = 0
         start_epoch = self._start_epoch
+        if start_epoch and hasattr(data_loader, "_epoch"):
+            # a resumed run must draw the SAME shuffles it would have seen:
+            # the loader's permutation is keyed by (seed, epoch counter)
+            data_loader._epoch = max(data_loader._epoch, start_epoch)
+
+        # Preemption safety: on SIGTERM/SIGINT finish the current epoch,
+        # write a full-state checkpoint, and stop — the run is then exactly
+        # resumable with --resume. (The reference has no notion of this;
+        # SURVEY.md section 5 'failure detection'.)
+        import signal
+        stop = {"flag": False}
+
+        def _request_stop(signum, frame):
+            self.logger.warning(
+                "Signal %s received: checkpointing at epoch end.", signum)
+            stop["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not in the main thread
+                pass
+
         for epoch in range(start_epoch, epochs):
             mean_epoch_loss, storer = self._train_epoch(data_loader, epoch)
             n_images += len(data_loader.dataset)
@@ -165,6 +189,16 @@ class Trainer:
                 save_model(self.model, self.state.params, self.save_dir,
                            filename="model-{}.npz".format(epoch))
                 self.save_checkpoint(epoch)
+
+            if stop["flag"]:
+                self.save_checkpoint(epoch)
+                self.logger.warning(
+                    "Stopped by signal after epoch %d; resume with --resume.",
+                    epoch)
+                break
+
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
 
         if self.gif_visualizer is not None:
             self.gif_visualizer.save_reset()

@@ -107,3 +107,24 @@ def test_n_params(rng_key):
                 + (10 * 256 + 256) + (256 * 256 + 256) + (256 * 512 + 512)
                 + conv_p(32, 32) + conv_p(32, 32) + conv_p(32, 1))
     assert get_n_param(params) == expected
+
+
+def test_bfloat16_compute_dtype_close_to_f32():
+    """The bf16 compute path must stay close to the f32 forward (params and
+    heads are f32 in both)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from disvae_tpu.models.vae import init_specific_model
+
+    model32, params = init_specific_model("Burgess", (3, 64, 64), 10,
+                                          key=jax.random.PRNGKey(0))
+    model16 = init_specific_model("Burgess", (3, 64, 64), 10,
+                                  compute_dtype="bfloat16")
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 64, 64, 3),
+                    jnp.float32)
+    r32, (m32, l32), _ = model32.apply(params, x, is_train=False)
+    r16, (m16, l16), _ = model16.apply(params, x, is_train=False)
+    assert r16.dtype == jnp.float32 and m16.dtype == jnp.float32
+    assert np.abs(np.asarray(r32) - np.asarray(r16)).max() < 0.05
+    assert np.abs(np.asarray(m32) - np.asarray(m16)).max() < 0.05

@@ -1,0 +1,60 @@
+"""Multi-host (multi-slice) initialization.
+
+The reference is strictly single-process (SURVEY.md section 2: no
+torch.distributed anywhere); the TPU-native scale-out story is: one Python
+process per host, `jax.distributed.initialize` to form the global runtime,
+then the SAME mesh/pjit code from disvae_tpu.parallel.mesh — GSPMD sees the
+global device set, collectives ride ICI within a slice and DCN across
+slices with no code change.
+
+Typical use at the top of a training script:
+
+    from disvae_tpu.parallel import distributed, mesh
+    distributed.initialize()            # no-op on a single host
+    m = mesh.create_mesh()              # all global devices
+    ... Trainer(..., mesh=m)
+
+Each host feeds its local shard of the batch (`local_batch_slice`).
+"""
+
+import logging
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Form the global JAX runtime across hosts.
+
+    With no arguments this auto-detects from the TPU environment variables
+    (the normal path on Cloud TPU pods). On a single host it is a no-op, so
+    scripts can call it unconditionally.
+    """
+    if num_processes is None and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError) as e:
+            logger.info("single-process run (jax.distributed: %s)", e)
+            return False
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    logger.info("distributed: process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+    return jax.process_count() > 1
+
+
+def local_batch_slice(global_batch_size):
+    """(start, stop) rows of the global batch this host is responsible for
+    feeding. Data loaders on each host slice their permutation with this so
+    the union of host feeds is exactly the global batch."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch_size // n
+    if global_batch_size % n:
+        raise ValueError("global batch {} not divisible by {} hosts".format(
+            global_batch_size, n))
+    return i * per, (i + 1) * per

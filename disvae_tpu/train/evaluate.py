@@ -55,7 +55,8 @@ class Evaluator:
                  rng=None,
                  logger=logging.getLogger(__name__),
                  save_dir="results",
-                 is_progress_bar=True):
+                 is_progress_bar=True,
+                 mesh=None):
         self.model = model
         self.params = params
         self.loss_f = loss_f
@@ -71,7 +72,12 @@ class Evaluator:
                     rng = jax.random.PRNGKey(0)
                 disc_params = disc.init(rng)
         self.disc_params = disc_params
-        self._eval_step = make_eval_step(model, loss_f, disc=disc)
+        if mesh is not None:
+            from disvae_tpu.parallel.mesh import make_sharded_eval_step
+            raw = make_eval_step(model, loss_f, disc=disc)
+            self._eval_step = make_sharded_eval_step(raw, mesh)
+        else:
+            self._eval_step = make_eval_step(model, loss_f, disc=disc)
         self._encode = jax.jit(model.encode)
         self.logger.info("Testing Device: {}".format(
             jax.devices()[0].platform))

@@ -65,3 +65,37 @@ def test_array_dataset_factors():
     assert list(ds.lat_sizes) == [2, 3]
     img, lab = ds[3]
     assert img.shape == (8, 8, 1)
+
+
+def test_dsprites_loads_from_cache(tmp_path, monkeypatch):
+    """The DSprites class reads the extracted .npy caches without touching
+    the network; labels are the 6-vector latents_values."""
+    import os
+    root = str(tmp_path / "dsprites")
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(24, 64, 64, 1) > 0.5).astype(np.uint8)
+    lat = rng.rand(24, 6).astype(np.float32)
+    np.save(os.path.join(root, "dsprites_imgs.npy"), imgs)
+    np.save(os.path.join(root, "dsprites_latents.npy"), lat)
+
+    ds = get_dataset("dsprites")(root=root)
+    assert len(ds) == 24
+    batch, labels = ds.get_batch(np.asarray([3, 0, 7]))
+    assert batch.shape == (3, 64, 64, 1) and batch.dtype == np.float32
+    # stored {0,1} values pass through unscaled
+    assert set(np.unique(batch)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(labels, lat[[3, 0, 7]])
+
+
+def test_mnist_loads_from_npz_cache(tmp_path):
+    import os
+    root = str(tmp_path / "mnist")
+    os.makedirs(root)
+    rng = np.random.RandomState(1)
+    imgs = (rng.rand(10, 32, 32, 1) * 255).astype(np.uint8)
+    np.savez_compressed(os.path.join(root, "train32.npz"), imgs=imgs,
+                        labels=np.arange(10))
+    ds = get_dataset("mnist")(root=root)
+    batch, labels = ds.get_batch(np.asarray([5, 5]))
+    assert batch.max() <= 1.0 and labels.tolist() == [5, 5]

@@ -180,3 +180,31 @@ def test_checkpoint_resume_bitexact(tmp_path, tiny_dataset):
     # (later epochs log nothing — no step hits the record-every-50 gate)
     log = open(d2 / "train_losses.log").read()
     assert log.count("\n0,loss,") == 1
+
+
+def test_sharded_trainer_and_evaluator_on_mesh(tmp_path, tiny_dataset):
+    """Data-parallel Trainer + Evaluator over the 8-virtual-device mesh
+    produce finite losses and the standard artifacts."""
+    from disvae_tpu.parallel.mesh import create_mesh
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    cfg = L.BtcvaeLoss(n_data=96, alpha=1, beta=6, gamma=1, steps_anneal=0)
+    loader = DataLoader(tiny_dataset, batch_size=32, shuffle=True, seed=0,
+                        drop_last=True)  # batch must divide the mesh axis
+    model, params = init_specific_model("Burgess", tiny_dataset.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, cfg, lr=1e-3,
+                      rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                      is_progress_bar=False, mesh=mesh)
+    loss, _ = trainer._train_epoch(loader, 0)
+    assert np.isfinite(loss)
+
+    ev = Evaluator(trainer.model, trainer.params, cfg,
+                   save_dir=str(tmp_path), is_progress_bar=False, mesh=mesh)
+    _, losses = ev(loader, is_metrics=False, is_losses=True)
+    assert np.isfinite(losses["loss"])
+
+
+def test_local_batch_slice_single_host():
+    from disvae_tpu.parallel.distributed import local_batch_slice
+    assert local_batch_slice(256) == (0, 256)

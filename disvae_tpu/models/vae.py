@@ -8,7 +8,7 @@ all randomness in explicit PRNG keys. That makes every method jit-safe and
 lets one compiled train step serve the whole run.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ lets XLA tile it on the MXU like any other conv instead of needing a separate
 gradient-op lowering.
 """
 
-from functools import partial
+
 
 import jax
 from jax import lax

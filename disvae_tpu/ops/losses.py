@@ -19,7 +19,7 @@ departures from the torch design, driven by XLA's compile-once model:
   tracer (reference linear_annealing at losses.py:511-518).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

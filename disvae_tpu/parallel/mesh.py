@@ -19,7 +19,7 @@ arrays; `jax.jit` + `NamedSharding` annotations drive partitioning, and XLA
 inserts the collectives. No per-device code, no explicit psum.
 """
 
-from functools import partial
+
 
 import jax
 import numpy as np

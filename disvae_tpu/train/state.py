@@ -10,7 +10,7 @@ buffers (zero-copy in-place updates in HBM).
 import flax.struct
 import jax
 import jax.numpy as jnp
-import optax
+
 
 
 @flax.struct.dataclass

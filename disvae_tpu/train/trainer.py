@@ -24,7 +24,7 @@ from disvae_tpu.data.prefetch import DevicePrefetcher
 from disvae_tpu.models.discriminator import Discriminator
 from disvae_tpu.ops.losses import RECORD_LOSS_EVERY, metric_key_order
 from disvae_tpu.train.state import create_train_state
-from disvae_tpu.train.steps import (make_disc_optimizer, make_eval_step,
+from disvae_tpu.train.steps import (make_disc_optimizer,
                                     make_multi_train_step, make_optimizer,
                                     make_train_step, stack_metrics)
 from disvae_tpu.utils.modelIO import save_model
@@ -176,10 +176,15 @@ class Trainer:
                 pass
 
         for epoch in range(start_epoch, epochs):
+            epoch_t0 = default_timer()
             mean_epoch_loss, storer = self._train_epoch(data_loader, epoch)
+            epoch_dt = default_timer() - epoch_t0
             n_images += len(data_loader.dataset)
-            self.logger.info("Epoch: {} Average loss per image: {:.2f}"
-                             .format(epoch + 1, mean_epoch_loss))
+            self.logger.info(
+                "Epoch: {} Average loss per image: {:.2f} "
+                "({:.0f} images/sec)".format(
+                    epoch + 1, mean_epoch_loss,
+                    len(data_loader.dataset) / max(epoch_dt, 1e-9)))
             self.losses_logger.log(epoch, storer)
 
             if self.gif_visualizer is not None:

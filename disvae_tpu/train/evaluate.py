@@ -194,19 +194,14 @@ class Evaluator:
     def _compute_q_zCx(self, dataloader):
         """Encode the entire dataset. Returns (samples (N, D), (mu, logvar)).
         In eval mode samples == mu (reference evaluate.py:196-231)."""
-        N = len(dataloader.dataset)
-        D = self.model.latent_dim
-        mu = np.empty((N, D), np.float32)
-        logvar = np.empty((N, D), np.float32)
-        n = 0
+        chunks = []
         for x, _ in dataloader:
-            b_mu, b_lv = self._encode(self.params, jnp.asarray(np.asarray(x)))
-            bs = b_mu.shape[0]
-            mu[n:n + bs] = np.asarray(b_mu)
-            logvar[n:n + bs] = np.asarray(b_lv)
-            n += bs
-        mu = jnp.asarray(mu)
-        logvar = jnp.asarray(logvar)
+            # stays on device: the entropy estimators consume these arrays
+            # there, so a host round-trip per batch would be pure latency
+            chunks.append(self._encode(self.params,
+                                       jnp.asarray(np.asarray(x))))
+        mu = jnp.concatenate([c[0] for c in chunks], axis=0)
+        logvar = jnp.concatenate([c[1] for c in chunks], axis=0)
         samples = mu  # eval-mode reparameterize returns the mean
         return samples, (mu, logvar)
 
@@ -242,27 +237,58 @@ class Evaluator:
         return H / S
 
     def _estimate_H_zCv(self, samples_zCx, params_zCx, lat_sizes, lat_names):
-        """Conditional entropies H[z|v] by slicing the factor lattice
-        (reference evaluate.py:299-317)."""
+        """Conditional entropies H[z|v]: one VECTORIZED estimate per factor
+        instead of the reference's per-factor-value Python loop
+        (evaluate.py:299-317). All `lat_size` slices of a factor share a
+        shape, so they batch as a leading vmap axis — 5 device calls total
+        rather than 113, which matters when each call pays a host<->chip
+        round trip."""
         D = samples_zCx.shape[-1]
         mu, logvar = params_zCx
         N = int(np.prod(lat_sizes))
         lattice = np.arange(N).reshape(lat_sizes)
         H_zCv = np.zeros((len(lat_sizes), D), np.float64)
         for k, (lat_size, lat_name) in enumerate(zip(lat_sizes, lat_names)):
-            idcs = [slice(None)] * len(lat_sizes)
-            for i in range(lat_size):
-                self.logger.info(
-                    "Estimating conditional entropies for the %sth value "
-                    "of %s.", i, lat_name)
-                idcs[k] = i
-                flat = jnp.asarray(lattice[tuple(idcs)].ravel())
-                sub_samples = jnp.take(samples_zCx, flat, axis=0)
-                sub_params = (jnp.take(mu, flat, axis=0),
-                              jnp.take(logvar, flat, axis=0))
-                H_zCv[k] += self._estimate_latent_entropies(
-                    sub_samples, sub_params) / lat_size
+            self.logger.info(
+                "Estimating conditional entropies over the %s values of %s.",
+                lat_size, lat_name)
+            # (lat_size, N / lat_size) gather plan: slice i of factor k
+            flat = jnp.asarray(np.moveaxis(lattice, k, 0)
+                               .reshape(lat_size, -1))
+            sub_samples = jnp.take(samples_zCx, flat, axis=0)  # (L, M', D)
+            sub_mu = jnp.take(mu, flat, axis=0)
+            sub_lv = jnp.take(logvar, flat, axis=0)
+            H_k = self._estimate_latent_entropies_batched(
+                sub_samples, (sub_mu, sub_lv))               # (L, D)
+            H_zCv[k] = H_k.mean(axis=0)
         return H_zCv
+
+    def _estimate_latent_entropies_batched(self, samples_zCx, params_zCx,
+                                           n_samples=10000):
+        """Batched _estimate_latent_entropies: leading axis L of independent
+        mixtures, processed by one vmapped streaming logsumexp per sample
+        chunk. Returns (L, D) entropies."""
+        L, M, D = samples_zCx.shape
+        S = min(n_samples, M)
+        idx = np.stack([np.random.permutation(M)[:S] for _ in range(L)])
+        selected = jnp.take_along_axis(samples_zCx,
+                                       jnp.asarray(idx)[:, :, None], axis=1)
+        values = selected.reshape(L, D, S)  # row-major, as the reference
+
+        mu, logvar = params_zCx
+        log_M = math.log(M)
+        H = np.zeros((L, D), np.float64)
+        # the in-flight brick is (L, comp_chunk, D, sample_chunk) — scale the
+        # component chunk down with L to keep it HBM-friendly
+        comp_chunk = max(256, _COMP_CHUNK // L)
+        vmapped = jax.vmap(
+            partial(_streaming_log_qz, comp_chunk=comp_chunk),
+            in_axes=(0, 0, 0))
+        for s0 in range(0, S, _SAMPLE_CHUNK):
+            v = values[:, :, s0:s0 + _SAMPLE_CHUNK]
+            log_qz = vmapped(v, mu, logvar)  # (L, D, s_chunk)
+            H += np.asarray(jnp.sum(log_M - log_qz, axis=2), np.float64)
+        return H / S
 
 
 @partial(jax.jit, static_argnames=("comp_chunk",))

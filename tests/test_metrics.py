@@ -129,3 +129,24 @@ def test_pallas_log_qz_matches_streaming():
     np.testing.assert_allclose(got, ref, atol=1e-4)
     got_mxu = np.asarray(log_qz_mxu(v, mu, lv, chunk=256, prec="highest"))
     np.testing.assert_allclose(got_mxu, ref, atol=1e-3)
+
+
+def test_batched_entropy_matches_unbatched(tmp_path, monkeypatch):
+    """The vmapped per-factor conditional-entropy estimator must agree with
+    independent per-slice estimates. The estimator inherits the reference's
+    reshape-scramble of the (S, D) sample block (evaluate.py:270), which
+    makes results depend on the drawn permutation — pin it to arange so the
+    two code paths see identical inputs."""
+    monkeypatch.setattr(np.random, "permutation", lambda n: np.arange(n))
+    ev = _make_evaluator(save_dir=str(tmp_path))
+    rng = np.random.RandomState(0)
+    L, M, D = 3, 40, 4
+    samples = jnp.asarray(rng.randn(L, M, D).astype(np.float32))
+    mu = samples * 0.9
+    lv = jnp.asarray((rng.randn(L, M, D) * 0.1).astype(np.float32))
+    batched = ev._estimate_latent_entropies_batched(samples, (mu, lv),
+                                                    n_samples=M)
+    for i in range(L):
+        single = ev._estimate_latent_entropies(samples[i], (mu[i], lv[i]),
+                                               n_samples=M)
+        np.testing.assert_allclose(batched[i], np.asarray(single), atol=1e-4)

@@ -200,8 +200,17 @@ class Evaluator:
             # there, so a host round-trip per batch would be pure latency
             chunks.append(self._encode(self.params,
                                        jnp.asarray(np.asarray(x))))
-        mu = jnp.concatenate([c[0] for c in chunks], axis=0)
-        logvar = jnp.concatenate([c[1] for c in chunks], axis=0)
+
+        def tree_concat(parts):
+            # hierarchical: a single concatenate over ~700 operands is an
+            # XLA compile hazard
+            while len(parts) > 1:
+                parts = [jnp.concatenate(parts[i:i + 16], axis=0)
+                         for i in range(0, len(parts), 16)]
+            return parts[0]
+
+        mu = tree_concat([c[0] for c in chunks])
+        logvar = tree_concat([c[1] for c in chunks])
         samples = mu  # eval-mode reparameterize returns the mean
         return samples, (mu, logvar)
 

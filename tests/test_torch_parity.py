@@ -209,3 +209,72 @@ def test_gradient_parity_on_shipped_checkpoint():
         expect = sd[k].grad.numpy()
         scale = max(np.abs(expect).max(), 1e-3)
         assert np.abs(got - expect).max() / scale < 1e-3, k
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/disvae"),
+                    reason="reference package unavailable")
+def test_training_dynamics_parity_vs_reference(tmp_path):
+    """Train the SAME initial weights on the SAME data (fixed order) with
+    betaH in both frameworks for 10 epochs; epoch-mean losses must track.
+    The only stochasticity left is the reparameterization noise (different
+    RNG streams), so curves agree to a few percent, not bitwise."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    np.product = np.prod  # the reference uses the numpy<2 alias
+    # under torch 2.x the CPU mkldnn conv returns channels_last tensors,
+    # which breaks the reference's own x.view() flatten — run it the way
+    # torch 1.x did
+    torch.backends.mkldnn.enabled = False
+    from disvae.models.vae import init_specific_model as torch_init
+    from disvae.models.losses import get_loss_f as torch_loss_f
+
+    rng = np.random.RandomState(0)
+    imgs = np.zeros((256, 32, 32, 1), np.float32)
+    ys, xs = np.mgrid[0:32, 0:32]
+    for i in range(256):
+        cy, cx, r = rng.randint(8, 24), rng.randint(8, 24), rng.randint(3, 9)
+        imgs[i, :, :, 0] = (((ys - cy) ** 2 + (xs - cx) ** 2) < r * r)
+    beta, lr, bs, epochs = 4.0, 1e-3, 64, 10
+
+    # ---- ours ----
+    from disvae_tpu.data.datasets import ArrayDataset, DataLoader
+    from disvae_tpu.train.trainer import Trainer
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    # snapshot before the trainer's donated buffers consume them
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    loader = DataLoader(ArrayDataset((imgs * 255).astype(np.uint8)),
+                        batch_size=bs, shuffle=False)
+    trainer = Trainer(model, params, L.BetaHLoss(beta=beta, steps_anneal=0),
+                      lr=lr, rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False)
+    ours = [trainer._train_epoch(loader, e)[0] for e in range(epochs)]
+
+    # ---- reference (identical initial weights via the converter) ----
+    tmodel = torch_init("Burgess", (1, 32, 32), 10)
+    tmodel.load_state_dict(params_to_torch_state_dict(params_np))
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr)
+    loss_f = torch_loss_f("betaH", n_data=256, device=torch.device("cpu"),
+                          rec_dist="bernoulli", reg_anneal=0, betaH_B=beta)
+    x_all = torch.from_numpy(np.ascontiguousarray(
+        np.transpose(np.round(imgs * 255) / 255, (0, 3, 1, 2)))).float()
+    theirs = []
+    torch.manual_seed(0)
+    for _ in range(epochs):
+        ep = []
+        for i in range(0, 256, bs):
+            x = x_all[i:i + bs]
+            recon, latent_dist, latent_sample = tmodel(x)
+            loss = loss_f(x, recon, latent_dist, True, None,
+                          latent_sample=latent_sample)
+            opt.zero_grad(); loss.backward(); opt.step()
+            ep.append(loss.item())
+        theirs.append(float(np.mean(ep)))
+
+    ours = np.asarray(ours)
+    theirs = np.asarray(theirs)
+    # both must descend and stay within a few percent of each other
+    assert ours[-1] < ours[0] and theirs[-1] < theirs[0]
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    assert rel.max() < 0.05, (ours, theirs)

@@ -150,3 +150,102 @@ def test_batched_entropy_matches_unbatched(tmp_path, monkeypatch):
         single = ev._estimate_latent_entropies(samples[i], (mu[i], lv[i]),
                                                n_samples=M)
         np.testing.assert_allclose(batched[i], np.asarray(single), atol=1e-4)
+
+
+def test_mig_cross_validation_vs_reference(tmp_path, monkeypatch):
+    """Drive the REFERENCE MIG/AAM implementation (torch) and ours on the
+    same synthetic posterior over a (6, 8) factor lattice, with both sample
+    permutations pinned to arange so the Monte-Carlo draws (and the
+    reference's reshape-scramble) coincide. Scores must match to ~1e-3."""
+    import os
+    if not os.path.isdir("/root/reference/disvae"):
+        pytest.skip("reference package unavailable")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    np.product = np.prod
+    import torch
+    import logging
+    from disvae.evaluate import Evaluator as RefEvaluator
+
+    L1, L2, D = 16, 24, 4
+    N = L1 * L2
+    S = 16  # the smallest lattice slice (the reference's estimator requires
+    #         n_samples <= slice size: it .view()s without clamping)
+    rng = np.random.RandomState(0)
+    f1, f2 = np.meshgrid(np.arange(L1), np.arange(L2), indexing="ij")
+    mu = np.stack([f1.ravel() / L1 * 4,
+                   f2.ravel() / L2 * 4,
+                   rng.randn(N) * 0.05,
+                   f1.ravel() / L1 + f2.ravel() / L2], axis=1)
+    mu = (mu + rng.randn(N, D) * 0.01).astype(np.float32)
+    logvar = (rng.randn(N, D) * 0.1 - 2).astype(np.float32)
+
+    # pin both frameworks' sample selection
+    monkeypatch.setattr(np.random, "permutation", lambda n: np.arange(n))
+    monkeypatch.setattr(torch, "randperm", lambda n, **kw: torch.arange(n))
+
+    # ---- ours ----
+    ours_ev = _make_evaluator(latent_dim=D, save_dir=str(tmp_path))
+    monkeypatch.setattr(
+        ours_ev, "_compute_q_zCx",
+        lambda loader: (jnp.asarray(mu), (jnp.asarray(mu),
+                                          jnp.asarray(logvar))))
+    _ours_ent = ours_ev._estimate_latent_entropies
+    _ours_ent_b = ours_ev._estimate_latent_entropies_batched
+    monkeypatch.setattr(ours_ev, "_estimate_latent_entropies",
+                        lambda s, p, n_samples=S: _ours_ent(s, p, S))
+    monkeypatch.setattr(ours_ev, "_estimate_latent_entropies_batched",
+                        lambda s, p, n_samples=S: _ours_ent_b(s, p, S))
+    ds = ArrayDataset(np.zeros((N, 32, 32, 1), np.uint8),
+                      lat_sizes=[L1, L2], lat_names=("a", "b"))
+    ours = ours_ev.compute_metrics(DataLoader(ds, batch_size=16))
+
+    # ---- reference, with a stub model whose encoder looks up by index ----
+    mu_t = torch.from_numpy(mu)
+    lv_t = torch.from_numpy(logvar)
+
+    class StubModel:
+        latent_dim = D
+
+        def encoder(self, x):
+            idx = x[:, 0].long()
+            return mu_t[idx], lv_t[idx]
+
+        def reparameterize(self, mean, logvar):
+            return mean  # eval mode
+
+        def eval(self):
+            return self
+
+    class Loader:
+        class _DS:
+            lat_sizes = np.array([L1, L2])
+            lat_names = ["a", "b"]
+
+            def __len__(self):
+                return N
+        dataset = _DS()
+
+        def __iter__(self):
+            for i in range(0, N, 16):
+                idx = torch.arange(i, min(i + 16, N), dtype=torch.float32)
+                yield idx[:, None], torch.zeros(len(idx))
+
+        def __len__(self):
+            return (N + 15) // 16
+
+    ref_ev = RefEvaluator.__new__(RefEvaluator)
+    ref_ev.device = torch.device("cpu")
+    ref_ev.model = StubModel()
+    ref_ev.logger = logging.getLogger("ref")
+    ref_ev.save_dir = str(tmp_path)
+    ref_ev.is_progress_bar = True  # reference's trange(disable=...) flag
+    _ref_ent = ref_ev._estimate_latent_entropies
+    ref_ev._estimate_latent_entropies = (
+        lambda s, p, n_samples=S: _ref_ent(s, p, n_samples=S))
+    ref = ref_ev.compute_metrics(Loader())
+
+    assert abs(ours["MIG"] - float(ref["MIG"])) < 2e-3, (ours, ref)
+    assert abs(ours["AAM"] - float(ref["AAM"])) < 2e-3, (ours, ref)
+    # sanity: some signal survives even the 16-sample scrambled estimate
+    assert ours["MIG"] > 0.01

@@ -47,21 +47,35 @@ def save_model(model, params, directory, metadata=None,
                filename=MODEL_FILENAME):
     """Save params + metadata. If no metadata is given, store the minimum
     needed to rebuild (img_size, latent_dim, model_type), as the reference
-    does for intra-training checkpoints (modelIO.py:32-35)."""
+    does for intra-training checkpoints (modelIO.py:32-35) — but MERGED into
+    any existing specs.json rather than replacing it, so a mid-training
+    checkpoint (or a preempted run) never erases the full resolved config a
+    later eval needs."""
     if metadata is None:
         metadata = dict(img_size=list(model.img_size),
                         latent_dim=model.latent_dim,
                         model_type=model.model_type)
+        spec_path = os.path.join(directory, META_FILENAME)
+        if os.path.exists(spec_path):
+            full = load_metadata(directory)
+            full.update(metadata)
+            metadata = full
         save_metadata(metadata, directory)
     elif filename == MODEL_FILENAME:
         save_metadata(metadata, directory)
     flat = _flatten(params)
-    np.savez(os.path.join(directory, filename), **flat)
+    path = os.path.join(directory, filename)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def save_metadata(metadata, directory, filename=META_FILENAME, **kwargs):
-    with open(os.path.join(directory, filename), "w") as f:
+    path = os.path.join(directory, filename)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(metadata, f, indent=4, sort_keys=True, **kwargs)
+    os.replace(tmp, path)
 
 
 def load_metadata(directory, filename=META_FILENAME):

@@ -70,3 +70,19 @@ def test_np_arrays_roundtrip(tmp_path):
     loaded = load_np_arrays(str(tmp_path), "arr.json")
     assert np.array_equal(loaded["a"], arrays["a"])
     assert loaded["b"] == 2.5
+
+
+def test_checkpoint_save_preserves_full_specs(tmp_path, rng_key):
+    """A mid-training checkpoint (no metadata) must not erase the fully
+    resolved config already in specs.json."""
+    from disvae_tpu.models.vae import init_specific_model
+    from disvae_tpu.utils.modelIO import (load_metadata, save_metadata,
+                                          save_model)
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=rng_key)
+    save_metadata({"dataset": "mnist", "loss": "betaH",
+                   "img_size": [1, 32, 32], "latent_dim": 4,
+                   "model_type": "Burgess"}, str(tmp_path))
+    save_model(model, params, str(tmp_path), filename="model-3.npz")
+    meta = load_metadata(str(tmp_path))
+    assert meta["dataset"] == "mnist" and meta["latent_dim"] == 4

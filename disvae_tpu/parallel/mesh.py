@@ -108,3 +108,38 @@ def make_sharded_eval_step(eval_fn, mesh):
     bsh = batch_sharding(mesh)
     return jax.jit(eval_fn, in_shardings=(rep, rep, bsh),
                    out_shardings=rep)
+
+
+def tp_state_shardings(mesh, state):
+    """Parameter shardings with the FactorVAE discriminator's 1000-unit
+    hidden layers split over the 'model' axis (column-parallel weights).
+
+    The Burgess VAE itself (~500K params, largest tensor 512x256) is far too
+    small for TP to pay — its params stay replicated. With
+    model_parallel == 1 this degenerates to full replication, so it is
+    always safe to pass. XLA/GSPMD derives the matching activation
+    shardings and inserts the collectives.
+    """
+    rep = replicate(mesh)
+    col = NamedSharding(mesh, P(None, "model"))
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "disc_params" in keys and "w" in keys and leaf.ndim == 2 \
+                and leaf.shape[1] % mesh.shape["model"] == 0:
+            return col
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def make_tp_train_step(step_fn, mesh, state, donate=True):
+    """Sharded step with tensor-parallel discriminator params: state leaves
+    follow tp_state_shardings, batch splits over 'data'."""
+    st_sh = tp_state_shardings(mesh, state)
+    bsh = batch_sharding(mesh)
+    rep = replicate(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(st_sh, bsh),
+                   out_shardings=(st_sh, rep),
+                   donate_argnums=(0,) if donate else ())

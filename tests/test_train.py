@@ -208,3 +208,56 @@ def test_sharded_trainer_and_evaluator_on_mesh(tmp_path, tiny_dataset):
 def test_local_batch_slice_single_host():
     from disvae_tpu.parallel.distributed import local_batch_slice
     assert local_batch_slice(256) == (0, 256)
+
+
+def test_tensor_parallel_factor_step_on_mesh(tmp_path, tiny_dataset):
+    """FactorVAE step with the discriminator's hidden layers sharded over a
+    real 'model' axis (2-way TP x 4-way DP on the 8-device mesh) must
+    produce the same update as the replicated path."""
+    import jax.numpy as jnp
+    from functools import partial
+    from disvae_tpu.models.discriminator import Discriminator
+    from disvae_tpu.parallel.mesh import (create_mesh, make_tp_train_step,
+                                          shard_batch)
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import (_factor_train_step,
+                                        make_disc_optimizer, make_optimizer,
+                                        make_train_step)
+
+    cfg = L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0)
+    disc = Discriminator(latent_dim=10)
+    opt = make_optimizer(1e-3)
+    d_opt = make_disc_optimizer(cfg)
+    batch = np.random.RandomState(0).rand(32, 32, 32, 1).astype(np.float32)
+
+    def make_state():
+        model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                            key=jax.random.PRNGKey(0))
+        return model, create_train_state(model, params, opt,
+                                         jax.random.PRNGKey(1), disc=disc,
+                                         disc_optimizer=d_opt,
+                                         disc_rng=jax.random.PRNGKey(2))
+
+    # replicated DP over all 8 devices
+    mesh_dp = create_mesh()
+    model, state = make_state()
+    step_dp = make_train_step(model, cfg, opt, disc=disc,
+                              disc_optimizer=d_opt, mesh=mesh_dp,
+                              donate=False)
+    _, m_dp = step_dp(state, shard_batch(batch, mesh_dp))
+
+    # 4-way DP x 2-way TP
+    mesh_tp = create_mesh(model_parallel=2)
+    assert mesh_tp.shape["model"] == 2
+    model, state_tp = make_state()
+    raw = partial(_factor_train_step, model, cfg, opt, disc, d_opt)
+    step_tp = make_tp_train_step(raw, mesh_tp, state_tp, donate=False)
+    new_state, m_tp = step_tp(state_tp, shard_batch(batch, mesh_tp))
+
+    assert m_dp["loss"] == pytest.approx(float(m_tp["loss"]), rel=1e-4)
+    assert m_dp["discrim_loss"] == pytest.approx(float(m_tp["discrim_loss"]),
+                                                 rel=1e-4)
+    # disc params actually carry the TP sharding
+    w1 = new_state.disc_params["lin2"]["w"]
+    specs = {s.spec for s in [w1.sharding]}
+    assert any("model" in str(s) for s in specs), specs

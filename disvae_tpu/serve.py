@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-from disvae_tpu.utils.modelIO import load_metadata, load_model
+from disvae_tpu.utils.modelIO import load_model
 
 _BUCKETS = (1, 8, 64, 256)
 
@@ -120,3 +120,23 @@ def load_artifact(path):
     with open(path, "rb") as f:
         exp = jax_export.deserialize(f.read())
     return exp.call
+
+
+def _main(argv):
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Export a trained run's encoder/decoder as StableHLO "
+                    "serving artifacts.")
+    parser.add_argument("name", help="run name under results/")
+    parser.add_argument("-b", "--batch-size", type=int, default=64)
+    parser.add_argument("--res-dir", default="results")
+    args = parser.parse_args(argv)
+    paths = export_artifacts(os.path.join(args.res_dir, args.name),
+                             batch_size=args.batch_size)
+    for p in paths:
+        print(p)
+
+
+if __name__ == "__main__":
+    import sys
+    _main(sys.argv[1:])

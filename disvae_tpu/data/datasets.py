@@ -92,12 +92,13 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=128, shuffle=False, seed=None,
-                 drop_last=False):
+                 drop_last=False, raw=False):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.raw = raw  # yield wire-format uint8 (see get_batch_raw)
         self._epoch = 0
 
     def __len__(self):
@@ -122,7 +123,10 @@ class DataLoader:
             idcs = order[i:i + self.batch_size]
             if self.drop_last and len(idcs) < self.batch_size:
                 break
-            yield self.dataset.get_batch(idcs)
+            if self.raw:
+                yield self.dataset.get_batch_raw(idcs)
+            else:
+                yield self.dataset.get_batch(idcs)
 
 
 class BaseDataset(abc.ABC):
@@ -165,6 +169,21 @@ class BaseDataset(abc.ABC):
         if imgs is None:
             imgs = np.asarray(self.imgs[idcs], np.float32) * self._scale
         return imgs, np.asarray(self.labels[idcs])
+
+    def get_batch_raw(self, idcs):
+        """Gather a batch as WIRE-FORMAT uint8 (intensity = value / 255) plus
+        labels. 4x less host->device traffic than the float batch; the
+        compiled train step converts on device (train/steps.py). Storage
+        conventions are renormalized here (dsprites stores {0,1})."""
+        idcs = np.asarray(idcs)
+        mul = int(round(255 * self._scale))
+        if self.imgs.dtype == np.uint8 and self.imgs.flags["C_CONTIGUOUS"]:
+            from disvae_tpu import native
+            out = native.gather_u8_scaled(self.imgs, idcs, mul)
+            if out is not None:
+                return out, np.asarray(self.labels[idcs])
+        out = (np.asarray(self.imgs[idcs]) * mul).astype(np.uint8)
+        return out, np.asarray(self.labels[idcs])
 
 
 class ArrayDataset(BaseDataset):

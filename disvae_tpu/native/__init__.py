@@ -51,12 +51,32 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
             lib.gather_u8.restype = None
+            lib.gather_u8_mul.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int]
+            lib.gather_u8_mul.restype = None
             _lib = lib
         except (OSError, subprocess.CalledProcessError) as e:
             logger.warning("native gather unavailable (%s); numpy fallback",
                            e)
             _lib = False
     return _lib
+
+
+def gather_u8_scaled(imgs, idcs, mul):
+    """out[r] = imgs[idcs[r]] * mul as uint8 (callers guarantee no
+    overflow). Returns None when the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    idcs = np.ascontiguousarray(idcs, np.int64)
+    row_bytes = int(np.prod(imgs.shape[1:]))
+    out = np.empty((len(idcs),) + imgs.shape[1:], np.uint8)
+    lib.gather_u8_mul(
+        imgs.ctypes.data, row_bytes, idcs.ctypes.data, len(idcs),
+        int(mul), out.ctypes.data, _N_THREADS)
+    return out
 
 
 def gather_u8_to_f32(imgs, idcs, scale):

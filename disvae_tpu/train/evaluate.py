@@ -198,8 +198,10 @@ class Evaluator:
         for x, _ in dataloader:
             # stays on device: the entropy estimators consume these arrays
             # there, so a host round-trip per batch would be pure latency
-            chunks.append(self._encode(self.params,
-                                       jnp.asarray(np.asarray(x))))
+            x = jnp.asarray(np.asarray(x))
+            if x.dtype == jnp.uint8:  # wire-format raw feed
+                x = x.astype(jnp.float32) * (1.0 / 255.0)
+            chunks.append(self._encode(self.params, x))
 
         def tree_concat(parts):
             # hierarchical: a single concatenate over ~700 operands is an

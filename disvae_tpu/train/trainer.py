@@ -229,6 +229,11 @@ class Trainer:
             from disvae_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
             super_sharding = NamedSharding(self.mesh, P(None, "data"))
+        if hasattr(data_loader, "raw") and hasattr(data_loader.dataset,
+                                                   "get_batch_raw"):
+            # feed wire-format uint8: 4x less host->device traffic; the
+            # compiled step decompresses on device (steps._decompress_batch)
+            data_loader.raw = True
         iterator = DevicePrefetcher(data_loader, sharding=sharding,
                                     superbatch_k=self.steps_per_dispatch,
                                     super_sharding=super_sharding)

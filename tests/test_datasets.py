@@ -99,3 +99,40 @@ def test_mnist_loads_from_npz_cache(tmp_path):
     ds = get_dataset("mnist")(root=root)
     batch, labels = ds.get_batch(np.asarray([5, 5]))
     assert batch.max() <= 1.0 and labels.tolist() == [5, 5]
+
+
+def test_raw_batches_match_float_batches():
+    """Wire-format uint8 batches decompress (on device) to exactly the
+    float batches: u8 * (1/255) must equal the float path bit-for-bit."""
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (40, 8, 8, 3), np.uint8)
+    ds = ArrayDataset(imgs)
+    idcs = np.asarray([3, 0, 39, 3])
+    f, _ = ds.get_batch(idcs)
+    r, _ = ds.get_batch_raw(idcs)
+    assert r.dtype == np.uint8
+    np.testing.assert_array_equal(r.astype(np.float32) * (1.0 / 255.0), f)
+
+
+def test_raw_batches_dsprites_scaling(tmp_path):
+    """dsprites stores {0,1}; the wire format renormalizes to {0,255} so the
+    shared /255 decompression is exact."""
+    import os
+    root = str(tmp_path / "dsprites")
+    os.makedirs(root)
+    imgs = (np.random.RandomState(0).rand(12, 64, 64, 1) > 0.5).astype(
+        np.uint8)
+    np.save(os.path.join(root, "dsprites_imgs.npy"), imgs)
+    np.save(os.path.join(root, "dsprites_latents.npy"),
+            np.zeros((12, 6), np.float32))
+    ds = get_dataset("dsprites")(root=root)
+    r, _ = ds.get_batch_raw(np.arange(12))
+    f, _ = ds.get_batch(np.arange(12))
+    np.testing.assert_array_equal(r.astype(np.float32) / 255.0, f)
+
+
+def test_loader_raw_mode():
+    imgs = np.random.RandomState(1).randint(0, 256, (32, 8, 8, 1), np.uint8)
+    loader = DataLoader(ArrayDataset(imgs), batch_size=16, raw=True)
+    b, _ = next(iter(loader))
+    assert b.dtype == np.uint8

@@ -265,3 +265,38 @@ def test_tensor_parallel_factor_step_on_mesh(tmp_path, tiny_dataset):
     w1 = new_state.disc_params["lin2"]["w"]
     specs = {s.spec for s in [w1.sharding]}
     assert any("model" in str(s) for s in specs), specs
+
+
+def test_sharded_step_matches_single_device(tmp_path, tiny_dataset):
+    """One btcvae step on the 8-device data-parallel mesh must produce the
+    SAME loss/metrics and the same updated params as the single-device step
+    (the (B, B, D) pairwise estimator and its MSS weights see the global
+    batch exactly, via XLA's all-gather)."""
+    from disvae_tpu.parallel.mesh import create_mesh, shard_batch
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = L.BtcvaeLoss(n_data=96, alpha=1, beta=6, gamma=1, steps_anneal=0)
+    opt = make_optimizer(1e-3)
+    batch = np.random.RandomState(0).rand(32, 32, 32, 1).astype(np.float32)
+
+    def make(mesh):
+        model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                            key=jax.random.PRNGKey(0))
+        state = create_train_state(model, params, opt, jax.random.PRNGKey(1))
+        step = make_train_step(model, cfg, opt, mesh=mesh, donate=False)
+        return state, step
+
+    state1, step1 = make(None)
+    s1, m1 = step1(state1, jax.numpy.asarray(batch))
+
+    mesh = create_mesh()
+    state8, step8 = make(mesh)
+    s8, m8 = step8(state8, shard_batch(batch, mesh))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+    assert float(m1["tc_loss"]) == pytest.approx(float(m8["tc_loss"]),
+                                                 abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)

@@ -170,12 +170,18 @@ class BaseDataset(abc.ABC):
             imgs = np.asarray(self.imgs[idcs], np.float32) * self._scale
         return imgs, np.asarray(self.labels[idcs])
 
+    # binary datasets (values in {0, 1}) additionally support the bitpacked
+    # wire format below — 32x less host->device traffic than f32
+    is_binary = False
+
     def get_batch_raw(self, idcs):
         """Gather a batch as WIRE-FORMAT uint8 (intensity = value / 255) plus
         labels. 4x less host->device traffic than the float batch; the
         compiled train step converts on device (train/steps.py). Storage
         conventions are renormalized here (dsprites stores {0,1})."""
         idcs = np.asarray(idcs)
+        if self.is_binary:
+            return self.get_batch_bits(idcs)
         mul = int(round(255 * self._scale))
         if self.imgs.dtype == np.uint8 and self.imgs.flags["C_CONTIGUOUS"]:
             from disvae_tpu import native
@@ -184,6 +190,20 @@ class BaseDataset(abc.ABC):
                 return out, np.asarray(self.labels[idcs])
         out = (np.asarray(self.imgs[idcs]) * mul).astype(np.uint8)
         return out, np.asarray(self.labels[idcs])
+
+    def get_batch_bits(self, idcs):
+        """Binary-dataset wire format: 1 bit per pixel, (B, n_pixels/8)
+        uint8 (np.packbits big-endian bit order). The compiled step unpacks
+        on device (train/steps.py _decompress_batch)."""
+        idcs = np.asarray(idcs)
+        rows = None
+        if self.imgs.dtype == np.uint8 and self.imgs.flags["C_CONTIGUOUS"]:
+            from disvae_tpu import native
+            rows = native.gather_u8_scaled(self.imgs, idcs, 1)
+        if rows is None:
+            rows = np.asarray(self.imgs[idcs], np.uint8)
+        packed = np.packbits(rows.reshape(len(idcs), -1), axis=1)
+        return packed, np.asarray(self.labels[idcs])
 
 
 class ArrayDataset(BaseDataset):
@@ -359,6 +379,7 @@ class DSprites(BaseDataset):
                      "?raw=true"}
     files = {"train": "dsprite_train.npz"}
     _scale = 1.0
+    is_binary = True
 
     def __init__(self, root=None, logger=logging.getLogger(__name__)):
         root = root or os.path.join(DATA_ROOT, type(self).name)

@@ -65,7 +65,7 @@ def make_eval_step(model, loss_cfg, disc=None):
     """
     if loss_cfg.needs_discriminator:
         def eval_fn(params, disc_params, batch):
-            batch = _decompress_batch(batch)
+            batch = _decompress_batch(batch, model.img_size)
             half = batch.shape[0] // 2
             data1 = batch[:half]
             recon, latent_dist, z = model.apply(params, data1, rng=None,
@@ -78,7 +78,7 @@ def make_eval_step(model, loss_cfg, disc=None):
 
     def eval_fn(params, disc_params, batch):
         del disc_params
-        batch = _decompress_batch(batch)
+        batch = _decompress_batch(batch, model.img_size)
         recon, latent_dist, z = model.apply(params, batch, rng=None,
                                             is_train=False)
         _, metrics = loss_cfg(batch, recon, latent_dist, False, 0,
@@ -87,17 +87,27 @@ def make_eval_step(model, loss_cfg, disc=None):
     return jax.jit(eval_fn)
 
 
-def _decompress_batch(batch):
-    """Wire-format uint8 batches (intensity = value / 255, see
-    data/datasets.get_batch_raw) decompress on device — a static trace-time
-    branch, so float feeds compile to a no-op."""
-    if batch.dtype == jnp.uint8:
-        return batch.astype(jnp.float32) * (1.0 / 255.0)
-    return batch
+def _decompress_batch(batch, img_size=None):
+    """Wire-format batches decompress on device — static trace-time
+    branches, so float feeds compile to a no-op.
+
+    * uint8 (B, H, W, C): intensity = value / 255 (get_batch_raw)
+    * uint8 (B, n_pixels/8): bitpacked binary images (get_batch_bits);
+      `img_size` (C, H, W) gives the unpacked shape
+    """
+    if batch.dtype != jnp.uint8:
+        return batch
+    if batch.ndim == 2:  # bitpacked
+        assert img_size is not None, "bit feed needs the model's img_size"
+        c, h, w = img_size
+        bits = jnp.bitwise_and(
+            batch[:, :, None] >> jnp.arange(7, -1, -1, dtype=jnp.uint8), 1)
+        return bits.reshape(batch.shape[0], h, w, c).astype(jnp.float32)
+    return batch.astype(jnp.float32) * (1.0 / 255.0)
 
 
 def _standard_train_step(model, loss_cfg, optimizer, state, batch):
-    batch = _decompress_batch(batch)
+    batch = _decompress_batch(batch, model.img_size)
     step = state.step + 1  # incremented before use, like _pre_call
     rng, rng_reparam = jax.random.split(state.rng)
 
@@ -123,7 +133,7 @@ def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
     from the pre-step parameters and applied together, matching the
     end-of-iteration optimizer.step()/optimizer_d.step() ordering
     (losses.py:306-308)."""
-    batch = _decompress_batch(batch)
+    batch = _decompress_batch(batch, model.img_size)
     step = state.step + 1
     rng, rng_loss = jax.random.split(state.rng)
 

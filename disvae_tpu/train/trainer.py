@@ -243,7 +243,11 @@ class Trainer:
                             leave=False, total=len(data_loader))
 
         for batch, _ in iterator:
-            if batch.ndim == 5:  # (K, B, H, W, C) super-step
+            # single batches are (B, H, W, C) or bitpacked (B, n_bytes);
+            # superbatches carry one extra leading K axis
+            bits = batch.dtype == jnp.uint8 and batch.ndim in (2, 3)
+            is_super = batch.ndim == (3 if bits else 5)
+            if is_super:
                 self.state, metrics = self._multi_step(self.state, batch)
             else:
                 self.state, metrics = self._train_step(self.state, batch)

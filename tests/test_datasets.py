@@ -114,10 +114,12 @@ def test_raw_batches_match_float_batches():
     np.testing.assert_array_equal(r.astype(np.float32) * (1.0 / 255.0), f)
 
 
-def test_raw_batches_dsprites_scaling(tmp_path):
-    """dsprites stores {0,1}; the wire format renormalizes to {0,255} so the
-    shared /255 decompression is exact."""
+def test_raw_batches_dsprites_bitpacked(tmp_path):
+    """dsprites is binary, so its wire format is 1 bit/pixel; the on-device
+    unpack must reproduce the float batch exactly."""
     import os
+    import jax.numpy as jnp
+    from disvae_tpu.train.steps import _decompress_batch
     root = str(tmp_path / "dsprites")
     os.makedirs(root)
     imgs = (np.random.RandomState(0).rand(12, 64, 64, 1) > 0.5).astype(
@@ -127,8 +129,10 @@ def test_raw_batches_dsprites_scaling(tmp_path):
             np.zeros((12, 6), np.float32))
     ds = get_dataset("dsprites")(root=root)
     r, _ = ds.get_batch_raw(np.arange(12))
+    assert r.shape == (12, 64 * 64 // 8)
     f, _ = ds.get_batch(np.arange(12))
-    np.testing.assert_array_equal(r.astype(np.float32) / 255.0, f)
+    np.testing.assert_array_equal(
+        np.asarray(_decompress_batch(jnp.asarray(r), (1, 64, 64))), f)
 
 
 def test_loader_raw_mode():
@@ -136,3 +140,24 @@ def test_loader_raw_mode():
     loader = DataLoader(ArrayDataset(imgs), batch_size=16, raw=True)
     b, _ = next(iter(loader))
     assert b.dtype == np.uint8
+
+
+def test_bitpacked_wire_format_roundtrip():
+    """Binary datasets pack to 1 bit/pixel; the device-side unpack in the
+    train step must reproduce the float batch exactly."""
+    import jax.numpy as jnp
+    from disvae_tpu.train.steps import _decompress_batch
+
+    class BinaryDS(ArrayDataset):
+        is_binary = True
+        _scale = 1.0
+
+    imgs = (np.random.RandomState(0).rand(10, 32, 32, 1) > 0.6).astype(
+        np.uint8)
+    ds = BinaryDS(imgs)
+    idcs = np.asarray([7, 0, 3])
+    packed, _ = ds.get_batch_raw(idcs)
+    assert packed.shape == (3, 32 * 32 // 8) and packed.dtype == np.uint8
+    unpacked = _decompress_batch(jnp.asarray(packed), (1, 32, 32))
+    f, _ = ds.get_batch(idcs)
+    np.testing.assert_array_equal(np.asarray(unpacked), f)

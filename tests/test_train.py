@@ -300,3 +300,31 @@ def test_sharded_step_matches_single_device(tmp_path, tiny_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_trainer_with_bitpacked_binary_dataset(tmp_path):
+    """Training on a binary dataset rides the bitpacked wire format through
+    the superbatch path and must produce the same losses as the float feed."""
+    from disvae_tpu.data.datasets import ArrayDataset, DataLoader
+
+    class BinaryDS(ArrayDataset):
+        is_binary = True
+        _scale = 1.0
+
+    imgs = (np.random.RandomState(0).rand(96, 32, 32, 1) > 0.5).astype(
+        np.uint8)
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+
+    def run(raw_supported):
+        ds = BinaryDS(imgs) if raw_supported else ArrayDataset(imgs * 255)
+        loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+        model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                            key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                          is_progress_bar=False, steps_per_dispatch=3)
+        return trainer._train_epoch(loader, 0)[0]
+
+    loss_bits = run(True)
+    loss_float = run(False)  # {0,255} bytes -> /255 -> same {0,1} images
+    assert loss_bits == pytest.approx(loss_float, rel=1e-5)

@@ -34,7 +34,7 @@ import numpy as np
 
 from disvae_tpu.models.discriminator import Discriminator
 from disvae_tpu.ops.math import log_density_gaussian
-from disvae_tpu.train.steps import make_eval_step
+from disvae_tpu.train.steps import _decompress_batch, make_eval_step
 from disvae_tpu.utils.modelIO import save_metadata
 
 TEST_LOSSES_FILE = "test_losses.log"
@@ -78,7 +78,8 @@ class Evaluator:
             self._eval_step = make_sharded_eval_step(raw, mesh)
         else:
             self._eval_step = make_eval_step(model, loss_f, disc=disc)
-        self._encode = jax.jit(model.encode)
+        self._encode = jax.jit(lambda p, x: model.encode(
+            p, _decompress_batch(x, model.img_size)))
         self.logger.info("Testing Device: {}".format(
             jax.devices()[0].platform))
 
@@ -129,6 +130,11 @@ class Evaluator:
                 "{}".format(type(dataloader.dataset).__name__))
 
         self.logger.info("Computing the empirical distribution q(z|x).")
+        if hasattr(dataloader, "raw") and hasattr(dataloader.dataset,
+                                                  "get_batch_raw"):
+            # full-dataset encode: ship wire-format batches (bitpacked for
+            # binary datasets — 32x less than f32); _encode decompresses
+            dataloader.raw = True
         samples_zCx, params_zCx = self._compute_q_zCx(dataloader)
 
         self.logger.info("Estimating the marginal entropy.")
@@ -198,10 +204,8 @@ class Evaluator:
         for x, _ in dataloader:
             # stays on device: the entropy estimators consume these arrays
             # there, so a host round-trip per batch would be pure latency
-            x = jnp.asarray(np.asarray(x))
-            if x.dtype == jnp.uint8:  # wire-format raw feed
-                x = x.astype(jnp.float32) * (1.0 / 255.0)
-            chunks.append(self._encode(self.params, x))
+            chunks.append(self._encode(self.params,
+                                       jnp.asarray(np.asarray(x))))
 
         def tree_concat(parts):
             # hierarchical: a single concatenate over ~700 operands is an

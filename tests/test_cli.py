@@ -1,0 +1,53 @@
+"""CLI glue smoke tests (CPU): main_viz end-to-end over a saved run."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_main_viz_cli_all_plots(tmp_path, monkeypatch):
+    """main_viz.main renders every plot family from a freshly saved model
+    using a fabricated mnist cache."""
+    from disvae_tpu.data import datasets as D
+    from disvae_tpu.models.vae import init_specific_model
+    from disvae_tpu.utils.modelIO import save_model, save_metadata
+    import main as main_mod
+    import main_viz
+
+    # fabricate the mnist cache in an isolated DATA_ROOT
+    root = tmp_path / "data" / "mnist"
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    np.savez_compressed(root / "train32.npz",
+                        imgs=(rng.rand(64, 32, 32, 1) * 255).astype(np.uint8),
+                        labels=rng.randint(0, 10, 64))
+    monkeypatch.setattr(D, "DATA_ROOT", str(tmp_path / "data"))
+
+    res_dir = tmp_path / "results"
+    run_dir = res_dir / "cli_run"
+    os.makedirs(run_dir)
+    monkeypatch.setattr(main_mod, "RES_DIR", str(res_dir))
+    monkeypatch.setattr(main_viz, "RES_DIR", str(res_dir))
+
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    save_model(model, params, str(run_dir),
+               metadata=dict(dataset="mnist", img_size=[1, 32, 32],
+                             latent_dim=10, model_type="Burgess"))
+    with open(run_dir / "train_losses.log", "w") as f:
+        f.write("Epoch,Loss,Value\n")
+        for d in range(10):
+            f.write("0,kl_loss_{},{}\n".format(d, d * 0.1))
+
+    args = main_viz.parse_arguments(
+        ["cli_run", "all", "-s", "1", "-r", "4", "-c", "4"])
+    main_viz.main(args)
+
+    for f in ["samples.png", "data_samples.png", "reconstruct.png",
+              "prior_traversals.png", "reconstruct_traverse.png",
+              "posterior_traversals.gif"]:
+        assert os.path.exists(run_dir / f), f

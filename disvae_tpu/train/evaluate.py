@@ -56,8 +56,15 @@ class Evaluator:
                  logger=logging.getLogger(__name__),
                  save_dir="results",
                  is_progress_bar=True,
-                 mesh=None):
+                 mesh=None,
+                 scramble_quirk=True):
         self.model = model
+        # Parity mode (default) reproduces the reference's (S, D) -> (D, S)
+        # row-major reshape of the entropy samples (evaluate.py:270), which
+        # evaluates most samples under the WRONG dimension's marginal and
+        # dilutes MIG by >10x (a perfectly disentangled code scores ~0.05).
+        # scramble_quirk=False uses the transpose the math calls for.
+        self.scramble_quirk = scramble_quirk
         self.params = params
         self.loss_f = loss_f
         self.logger = logger
@@ -238,9 +245,12 @@ class Evaluator:
         # distribution matters)
         idx = np.random.permutation(M)[:S]
         selected = jnp.take(samples_zCx, jnp.asarray(idx), axis=0)
-        # reference's .view(latent_dim, n_samples) — row-major reshape, NOT a
-        # transpose. Keep it: MIG parity depends on it.
-        values = selected.reshape(D, S)
+        if self.scramble_quirk:
+            # reference's .view(latent_dim, n_samples) — row-major reshape,
+            # NOT a transpose. Keep it: MIG parity depends on it.
+            values = selected.reshape(D, S)
+        else:
+            values = selected.T
 
         mu, logvar = params_zCx
         log_M = math.log(M)
@@ -288,7 +298,10 @@ class Evaluator:
         idx = np.stack([np.random.permutation(M)[:S] for _ in range(L)])
         selected = jnp.take_along_axis(samples_zCx,
                                        jnp.asarray(idx)[:, :, None], axis=1)
-        values = selected.reshape(L, D, S)  # row-major, as the reference
+        if self.scramble_quirk:
+            values = selected.reshape(L, D, S)  # row-major, as the reference
+        else:
+            values = jnp.swapaxes(selected, 1, 2)
 
         mu, logvar = params_zCx
         log_M = math.log(M)

@@ -166,6 +166,13 @@ def parse_arguments(args_to_parse):
     evaluation.add_argument('--eval-batchsize', type=int,
                             default=default_config['eval_batchsize'],
                             help='Images per device call during evaluation.')
+    evaluation.add_argument('--corrected-mig', action='store_true',
+                            default=False,
+                            help='Compute MIG/AAM with the mathematically '
+                                 'correct sample handling instead of '
+                                 'reproducing the reference estimator\'s '
+                                 'sample-scrambling quirk (which dilutes '
+                                 'MIG by more than 10x).')
 
     args = parser.parse_args(args_to_parse)
     if args.experiment != 'custom':
@@ -275,7 +282,8 @@ def main(args):
                               rng=eval_key,
                               logger=logger,
                               save_dir=exp_dir,
-                              is_progress_bar=not args.no_progress_bar)
+                              is_progress_bar=not args.no_progress_bar,
+                              scramble_quirk=not args.corrected_mig)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)
 

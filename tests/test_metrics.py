@@ -249,3 +249,33 @@ def test_mig_cross_validation_vs_reference(tmp_path, monkeypatch):
     assert abs(ours["AAM"] - float(ref["AAM"])) < 2e-3, (ours, ref)
     # sanity: some signal survives even the 16-sample scrambled estimate
     assert ours["MIG"] > 0.01
+
+
+def test_corrected_mig_recovers_disentanglement(tmp_path, monkeypatch):
+    """On a perfectly disentangled synthetic code the reference-faithful
+    (scrambled) estimator dilutes MIG to ~0.05 while the corrected mode
+    recovers a strong score — both modes ship; quirk is the default."""
+    monkeypatch.setattr(np.random, "permutation", lambda n: np.arange(n))
+    L1, L2, D = 16, 24, 4
+    N = L1 * L2
+    rng = np.random.RandomState(0)
+    f1, f2 = np.meshgrid(np.arange(L1), np.arange(L2), indexing="ij")
+    mu = np.stack([f1.ravel() / L1 * 6, f2.ravel() / L2 * 6,
+                   rng.randn(N) * 0.02, rng.randn(N) * 0.02], axis=1)
+    mu = mu.astype(np.float32)
+    logvar = np.full((N, D), -4.0, np.float32)
+    ds = ArrayDataset(np.zeros((N, 32, 32, 1), np.uint8),
+                      lat_sizes=[L1, L2], lat_names=("a", "b"))
+    loader = DataLoader(ds, batch_size=64, shuffle=False)
+
+    scores = {}
+    for quirk in (True, False):
+        ev = _make_evaluator(latent_dim=D, save_dir=str(tmp_path))
+        ev.scramble_quirk = quirk
+        monkeypatch.setattr(
+            ev, "_compute_q_zCx",
+            lambda l: (jnp.asarray(mu), (jnp.asarray(mu),
+                                         jnp.asarray(logvar))))
+        scores[quirk] = ev.compute_metrics(loader)["MIG"]
+    assert scores[False] > 0.5       # corrected: strong signal
+    assert scores[False] > 5 * scores[True]  # quirk dilutes it

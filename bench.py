@@ -1,45 +1,122 @@
-"""Headline benchmark: btcvae_celeba-shaped training throughput, batch 256,
+"""Headline benchmark: btcvae_celeba b256 END-TO-END training throughput on
 one chip. Prints ONE JSON line.
 
-Measures the production train path: the K-step lax.scan super-step
-(train/steps.py make_multi_train_step) with flattened Adam, synced by an
-actual device->host fetch of the final metrics — on this platform
-`block_until_ready` can return before results are fetchable, so a data
-dependency is the only honest barrier.
+End-to-end means the production input path, not resident device data: the
+celeba-shaped uint8 memmap on disk -> per-epoch shuffled gather (native C++
+batch assembly, disvae_tpu/native) -> uint8 wire format -> prefetch thread ->
+host->device transfer -> K-step lax.scan super-step with flattened Adam and
+on-device decompress. A resident-data device-only figure is reported
+alongside as `device_only_ips` (it bounds the compute path; the gap between
+the two is the input pipeline).
+
+Sync discipline: on this platform `jax.block_until_ready` can return before
+results are fetchable, so both measurements end with an actual device->host
+fetch of a >=1-d metrics array (Trainer._train_epoch does this internally;
+the device-only loop fetches the final metrics).
 
 Baseline anchoring (BASELINE.md): the reference publishes no throughput
-number. Measured here on this host: reference torch-CPU btcvae b256 =
-367.9 img/s (5-step mean after warmup, /root/reference @ seed 0). The
-north-star target is >=10x the reference's *GPU* rate; REF_GPU_IPS below is
-a V100-class estimate for this ~500K-param conv VAE (documented, not
-measured — no GPU in this environment). vs_baseline = ours / REF_GPU_IPS,
-so vs_baseline >= 10 meets the BASELINE.json target.
+number. `vs_baseline` uses the MEASURED anchor — the torch reference running
+btcvae_celeba b256 on this host's CPU: 367.9 img/s (5-step mean after
+warmup, /root/reference @ seed 0). No GPU exists in this environment, so the
+V100-class estimate for this ~500K-param conv VAE is reported separately as
+`ref_gpu_estimate_ips` (3000, documented guess, NOT a measurement);
+BASELINE.json's north-star (>=10x reference GPU) corresponds to
+`vs_gpu_estimate` >= 10.
 """
 
 import json
+import logging
+import os
+import tempfile
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from disvae_tpu.models.vae import init_specific_model
-from disvae_tpu.ops.losses import BtcvaeLoss, metric_key_order
-from disvae_tpu.train.state import create_train_state
-from disvae_tpu.train.steps import (make_multi_train_step, make_optimizer,
-                                    stack_metrics)
-
-REF_GPU_IPS = 3000.0  # estimated reference GPU img/s (see module docstring)
+REF_CPU_IPS = 367.9       # measured: torch reference, this host's CPU
+REF_GPU_EST_IPS = 3000.0  # documented V100-class estimate (no GPU here)
 BATCH = 256
-K = 16          # steps per dispatch (lax.scan super-step)
-SUPERSTEPS = 20  # timed supersteps -> 320 train steps
+K = 16           # steps per dispatch (lax.scan super-step)
+SUPERSTEPS = 20  # device-only timed supersteps -> 320 train steps
+N_CELEBA = 202599
+
+CACHE = os.path.join(os.environ.get("DISVAE_DATA_ROOT",
+                                    os.path.join(os.getcwd(), "data")),
+                     "celeba", "celeba_64.npy")
 
 
-def main():
+def _ensure_celeba_cache(n=N_CELEBA):
+    """Real celeba can't download here (zero egress); fabricate a full-size
+    uint8 (N, 64, 64, 3) cache once so the gather path touches a real
+    2.3 GB disk memmap, same as production."""
+    if os.path.exists(CACHE):
+        return
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    from numpy.lib.format import open_memmap
+    tmp = CACHE + ".tmp.npy"
+    arr = open_memmap(tmp, mode="w+", dtype=np.uint8,
+                      shape=(n, 64, 64, 3))
+    rng = np.random.RandomState(0)
+    chunk = 8192
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        arr[i:j] = rng.randint(0, 256, size=(j - i, 64, 64, 3),
+                               dtype=np.uint8)
+    arr.flush()
+    del arr
+    os.replace(tmp, CACHE)
+
+
+def bench_end_to_end():
+    """One full training epoch over the celeba memmap through the real
+    Trainer path."""
+    from disvae_tpu.data.datasets import CelebA, DataLoader
+    from disvae_tpu.models.vae import init_specific_model
+    from disvae_tpu.ops.losses import BtcvaeLoss
+    from disvae_tpu.train.trainer import Trainer
+
+    _ensure_celeba_cache()
+    ds = CelebA(root=os.path.dirname(CACHE),
+                logger=logging.getLogger("bench"))
     model, params = init_specific_model("Burgess", (3, 64, 64), 10,
                                         key=jax.random.PRNGKey(0))
     # btcvae_celeba hyperparams (hyperparam.ini [Common_btcvae]/[btcvae_celeba])
-    loss_cfg = BtcvaeLoss(n_data=202599, alpha=1.0, beta=6.0, gamma=1.0,
+    loss_cfg = BtcvaeLoss(n_data=len(ds), alpha=1.0, beta=6.0, gamma=1.0,
+                          steps_anneal=0)
+    save_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    trainer = Trainer(model, params, loss_cfg, lr=5e-4,
+                      rng=jax.random.PRNGKey(1), save_dir=save_dir,
+                      is_progress_bar=False, steps_per_dispatch=K)
+
+    # warmup: compile both programs (superbatch + ragged tail) and pay the
+    # first-transfer cost on a 3-superbatch subset epoch
+    from disvae_tpu.data.datasets import ArrayDataset
+    warm_n = 3 * K * BATCH + (len(ds) % BATCH)  # includes a ragged batch
+    warm_ds = ArrayDataset(np.asarray(ds.imgs[:warm_n]))
+    warm_loader = DataLoader(warm_ds, batch_size=BATCH, shuffle=True, seed=0)
+    loss, _ = trainer._train_epoch(warm_loader, 0)
+    assert np.isfinite(loss), loss
+
+    loader = DataLoader(ds, batch_size=BATCH, shuffle=True, seed=0)
+    t0 = time.perf_counter()
+    loss, _ = trainer._train_epoch(loader, 1)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), loss
+    return len(ds) / dt
+
+
+def bench_device_only():
+    """Resident-data compute bound: the same super-step on a device-held
+    random superbatch (no host pipeline)."""
+    from disvae_tpu.models.vae import init_specific_model
+    from disvae_tpu.ops.losses import BtcvaeLoss, metric_key_order
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import (make_multi_train_step, make_optimizer,
+                                        stack_metrics)
+
+    model, params = init_specific_model("Burgess", (3, 64, 64), 10,
+                                        key=jax.random.PRNGKey(0))
+    loss_cfg = BtcvaeLoss(n_data=N_CELEBA, alpha=1.0, beta=6.0, gamma=1.0,
                           steps_anneal=0)
     optimizer = make_optimizer(5e-4)
     state = create_train_state(model, params, optimizer,
@@ -55,8 +132,7 @@ def main():
         # device->host dependency on every step's loss = the sync barrier
         return np.asarray(stack_metrics(metrics, keys))
 
-    # warmup: compile + first (expensive) transfer on this platform
-    for _ in range(2):
+    for _ in range(2):  # warmup: compile + first (expensive) transfer
         state, metrics = multi(state, batches)
     vals = fetch(metrics)
     assert np.isfinite(vals).all(), vals
@@ -66,13 +142,21 @@ def main():
         state, metrics = multi(state, batches)
     fetch(metrics)
     dt = time.perf_counter() - t0
+    return BATCH * K * SUPERSTEPS / dt
 
-    ips = BATCH * K * SUPERSTEPS / dt
+
+def main():
+    device_ips = bench_device_only()
+    e2e_ips = bench_end_to_end()
     print(json.dumps({
-        "metric": "train_images_per_sec_btcvae_celeba_b256_1chip",
-        "value": round(ips, 1),
+        "metric": "train_images_per_sec_btcvae_celeba_b256_1chip_e2e",
+        "value": round(e2e_ips, 1),
         "unit": "images/sec",
-        "vs_baseline": round(ips / REF_GPU_IPS, 3),
+        "vs_baseline": round(e2e_ips / REF_CPU_IPS, 3),
+        "device_only_ips": round(device_ips, 1),
+        "ref_cpu_ips": REF_CPU_IPS,
+        "ref_gpu_estimate_ips": REF_GPU_EST_IPS,
+        "vs_gpu_estimate": round(e2e_ips / REF_GPU_EST_IPS, 3),
     }))
 
 

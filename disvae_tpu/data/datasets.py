@@ -92,13 +92,19 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=128, shuffle=False, seed=None,
-                 drop_last=False, raw=False):
+                 drop_last=False, raw=False, host_slice=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.raw = raw  # yield wire-format uint8 (see get_batch_raw)
+        # Multi-host feeding: host_slice=(process_index, process_count)
+        # makes this loader yield only this host's rows of every global
+        # batch (contiguous np.array_split shares, so the union over all
+        # hosts is exactly the global permutation). The permutation itself
+        # is (seed, epoch)-keyed, hence identical on every host.
+        self.host_slice = host_slice
         self._epoch = 0
 
     def __len__(self):
@@ -123,6 +129,11 @@ class DataLoader:
             idcs = order[i:i + self.batch_size]
             if self.drop_last and len(idcs) < self.batch_size:
                 break
+            if self.host_slice is not None:
+                pi, pn = self.host_slice
+                idcs = np.array_split(idcs, pn)[pi]
+                if len(idcs) == 0:
+                    continue
             if self.raw:
                 yield self.dataset.get_batch_raw(idcs)
             else:

@@ -27,15 +27,29 @@ class DevicePrefetcher:
     lax.scan super-step (train/steps.py make_multi_train_step). Ragged
     leftovers (end of epoch, partial final batch) come through unstacked as
     plain (B, ...) batches; consumers distinguish the two by ndim.
+
+    With `pad_multiple` (the mesh's data-axis size), a ragged batch whose
+    leading dim does not divide it is host-padded up to the next multiple
+    (repeating row 0) BEFORE the sharded device_put — jax.device_put with a
+    P('data') sharding rejects indivisible batches. Such batches are yielded
+    as ``((device_array, true_size), labels)`` so the consumer can run the
+    mask-aware (loss-exact) padded step; they are never stacked into
+    superbatches.
     """
 
     def __init__(self, loader, depth=2, sharding=None, superbatch_k=1,
-                 super_sharding=None):
+                 super_sharding=None, pad_multiple=None, multihost=False):
         self.loader = loader
         self.depth = depth
         self.sharding = sharding
         self.superbatch_k = superbatch_k
         self.super_sharding = super_sharding
+        self.pad_multiple = pad_multiple
+        # Multi-host: the loader yields only this process's rows of each
+        # global batch (DataLoader.host_slice); assemble the global sharded
+        # array from the local shard instead of device_put'ing a (here
+        # unavailable) global batch.
+        self.multihost = multihost
 
     def __len__(self):
         return len(self.loader)
@@ -45,50 +59,90 @@ class DevicePrefetcher:
         return self.loader.dataset
 
     def _put(self, x, sharding):
+        if self.multihost and sharding is not None:
+            return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding) if sharding is not None \
             else jax.device_put(x)
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()  # consumer gone: worker must not block
         _END = object()
         k = self.superbatch_k
+
+        def put(item):
+            """Bounded put that gives up once the consumer abandoned
+            iteration — otherwise a break/exception mid-epoch would leave
+            the worker blocked forever on a full queue, leaking the thread
+            and the device buffers it holds."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def flush(group):
             if len(group) == k and k > 1:
                 imgs = np.stack([g[0] for g in group])
                 labels = np.stack([g[1] for g in group])
-                q.put((self._put(imgs, self.super_sharding), labels))
-            else:
-                for imgs, labels in group:
-                    q.put((self._put(imgs, self.sharding), labels))
+                return put((self._put(imgs, self.super_sharding), labels))
+            for imgs, labels in group:
+                if not put((self._put(imgs, self.sharding), labels)):
+                    return False
+            return True
 
         def worker():
             try:
                 group = []
                 for imgs, labels in self.loader:
+                    if stop.is_set():
+                        return
+                    if self.pad_multiple \
+                            and imgs.shape[0] % self.pad_multiple:
+                        from disvae_tpu.parallel.mesh import pad_to_multiple
+                        padded, true_n = pad_to_multiple(imgs,
+                                                         self.pad_multiple)
+                        if group:
+                            if not flush(group):
+                                return
+                            group = []
+                        item = ((self._put(padded, self.sharding), true_n),
+                                labels)
+                        if not put(item):
+                            return
+                        continue
                     if k <= 1:
-                        q.put((self._put(imgs, self.sharding), labels))
+                        if not put((self._put(imgs, self.sharding), labels)):
+                            return
                         continue
                     if group and group[0][0].shape != imgs.shape:
-                        flush(group)
+                        if not flush(group):
+                            return
                         group = []
                     group.append((imgs, labels))
                     if len(group) == k:
-                        flush(group)
+                        if not flush(group):
+                            return
                         group = []
                 if group:
-                    flush(group)
+                    if not flush(group):
+                        return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(_END)
+            put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

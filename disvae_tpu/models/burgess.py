@@ -61,10 +61,12 @@ def _cast_tree(params, dtype):
 
 def apply_encoder(params, x, latent_dim, compute_dtype=None):
     """Encode a batch. x: (N, H, W, C) in [0, 1]. Returns (mu, logvar) in
-    float32. With compute_dtype=bfloat16 the conv/FC stack runs with bf16
-    activations AND weights; heads and losses stay f32. Measured neutral on
-    v5e at b256-b1024 (the 32-channel convs underfill the 128-wide MXU
-    either way) — provided for larger derived models, not as a default."""
+    float32. With compute_dtype=bfloat16 the whole stack INCLUDING the
+    mu/logvar head runs with bf16 activations and weights; only the head's
+    OUTPUT (and everything downstream: reparam, losses) is cast back to f32.
+    Measured neutral on v5e at b256-b1024 (the 32-channel convs underfill
+    the 128-wide MXU either way) — provided for larger derived models, not
+    as a default."""
     params = _cast_tree(params, compute_dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from disvae_tpu.ops.math import (log_density_gaussian,
                                  log_importance_weight_matrix,
+                                 log_importance_weight_matrix_masked,
                                  matrix_log_density_gaussian)
 
 LOSSES = ["VAE", "betaH", "betaB", "factor", "btcvae"]
@@ -64,7 +65,7 @@ def get_loss_f(loss_name, **kwargs_parse):
                           gamma=kwargs_parse["btcvae_G"],
                           **kwargs_all)
     else:
-        raise ValueError("Uknown loss : {}".format(loss_name))
+        raise ValueError("Unrecognized loss: {}".format(loss_name))
 
 
 def linear_annealing(init, fin, step, annealing_steps):
@@ -76,65 +77,91 @@ def linear_annealing(init, fin, step, annealing_steps):
 
 
 @jax.custom_vjp
-def _bce_sum(recon, data):
+def _bce_sum(recon, data, mask):
     """Summed binary cross-entropy with torch semantics in BOTH directions:
     forward clamps each log at -100 (as F.binary_cross_entropy does when the
     sigmoid saturates to exact 0/1 in f32); backward is
     (r - d) / max(r * (1 - r), 1e-12) — NOT the gradient of the clamped
     forward, which would silently zero saturated pixels and diverge from the
-    reference's training dynamics."""
+    reference's training dynamics.
+
+    `mask` broadcasts against the batch (1.0 for the unpadded hot path — a
+    literal the compiler folds away; a per-row 0/1 column for padded ragged
+    batches under data parallelism)."""
     log_r = jnp.maximum(jnp.log(recon), -100.0)
     log_1mr = jnp.maximum(jnp.log1p(-recon), -100.0)
-    return -jnp.sum(data * log_r + (1 - data) * log_1mr)
+    return -jnp.sum(mask * (data * log_r + (1 - data) * log_1mr))
 
 
-def _bce_sum_fwd(recon, data):
-    return _bce_sum(recon, data), (recon, data)
+def _bce_sum_fwd(recon, data, mask):
+    return _bce_sum(recon, data, mask), (recon, data, mask)
 
 
 def _bce_sum_bwd(res, g):
-    recon, data = res
-    grad_r = (recon - data) / jnp.maximum(recon * (1 - recon), 1e-12)
+    recon, data, mask = res
+    grad_r = mask * (recon - data) / jnp.maximum(recon * (1 - recon), 1e-12)
     log_r = jnp.maximum(jnp.log(recon), -100.0)
     log_1mr = jnp.maximum(jnp.log1p(-recon), -100.0)
-    grad_d = log_1mr - log_r
-    return (g * grad_r, g * grad_d)
+    grad_d = mask * (log_1mr - log_r)
+    return (g * grad_r, g * grad_d, jnp.zeros_like(mask))
 
 
 _bce_sum.defvjp(_bce_sum_fwd, _bce_sum_bwd)
 
 
-def reconstruction_loss(data, recon_data, distribution="bernoulli"):
+def _row_mask(batch_size, n_valid, ndim):
+    """(B, 1, ...) float mask selecting the first `n_valid` rows."""
+    shape = (batch_size,) + (1,) * (ndim - 1)
+    return (jnp.arange(batch_size) < n_valid).astype(jnp.float32).reshape(
+        shape)
+
+
+def reconstruction_loss(data, recon_data, distribution="bernoulli",
+                        n_valid=None):
     """Per-image negative log likelihood, summed over pixels and averaged over
     the batch (reference losses.py:394-449). data/recon: (N, H, W, C) in [0,1].
 
     bernoulli -> summed BCE; gaussian -> summed MSE in [0,255] space / 255;
     laplace -> summed L1 * 3 (empirical scale to match bernoulli magnitudes).
+
+    `n_valid` (traced, optional) marks a batch padded for the data-parallel
+    mesh: only the first `n_valid` rows are real; the result equals the loss
+    of the unpadded batch exactly.
     """
-    batch_size = recon_data.shape[0]
+    if n_valid is None:
+        denom = recon_data.shape[0]
+        mask = 1.0
+    else:
+        denom = n_valid
+        mask = _row_mask(recon_data.shape[0], n_valid, recon_data.ndim)
     if distribution == "bernoulli":
-        loss = _bce_sum(recon_data, data)
+        loss = _bce_sum(recon_data, data, mask)
     elif distribution == "gaussian":
-        loss = jnp.sum((recon_data * 255 - data * 255) ** 2) / 255
+        loss = jnp.sum(mask * (recon_data * 255 - data * 255) ** 2) / 255
     elif distribution == "laplace":
-        loss = jnp.sum(jnp.abs(recon_data - data)) * 3
+        loss = jnp.sum(mask * jnp.abs(recon_data - data)) * 3
         loss = loss * (loss != 0)  # reference's nan guard (losses.py:439)
     else:
-        raise ValueError("Unkown distribution: {}".format(distribution))
-    return loss / batch_size
+        raise ValueError("Unrecognized distribution: {}".format(distribution))
+    return loss / denom
 
 
-def kl_normal_loss(mean, logvar):
+def kl_normal_loss(mean, logvar, n_valid=None):
     """Closed-form KL(q || N(0, I)). Returns (total_kl, per_dim_kl) where
     per_dim_kl is the batch mean per latent dimension (reference
-    losses.py:452-480 logs these as kl_loss_i)."""
-    latent_kl = 0.5 * jnp.mean(-1 - logvar + mean ** 2 + jnp.exp(logvar),
-                               axis=0)
+    losses.py:452-480 logs these as kl_loss_i). With `n_valid`, rows past it
+    are padding and excluded from the means."""
+    term = -1 - logvar + mean ** 2 + jnp.exp(logvar)
+    if n_valid is None:
+        latent_kl = 0.5 * jnp.mean(term, axis=0)
+    else:
+        mask = _row_mask(mean.shape[0], n_valid, 2)
+        latent_kl = 0.5 * jnp.sum(mask * term, axis=0) / n_valid
     return jnp.sum(latent_kl), latent_kl
 
 
-def _kl_metrics(mean, logvar):
-    total_kl, latent_kl = kl_normal_loss(mean, logvar)
+def _kl_metrics(mean, logvar, n_valid=None):
+    total_kl, latent_kl = kl_normal_loss(mean, logvar, n_valid=n_valid)
     metrics = {"kl_loss": total_kl}
     for i in range(latent_kl.shape[0]):
         metrics["kl_loss_" + str(i)] = latent_kl[i]
@@ -166,9 +193,10 @@ class BetaHLoss:
     needs_discriminator = False
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, **unused):
-        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
-        kl_loss, metrics = _kl_metrics(*latent_dist)
+                 latent_sample=None, n_valid=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
+                                       n_valid=n_valid)
+        kl_loss, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
         loss = rec_loss + anneal_reg * (self.beta * kl_loss)
@@ -191,9 +219,10 @@ class BetaBLoss:
     needs_discriminator = False
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, **unused):
-        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
-        kl_loss, metrics = _kl_metrics(*latent_dist)
+                 latent_sample=None, n_valid=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
+                                       n_valid=n_valid)
+        kl_loss, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
         C = (linear_annealing(self.C_init, self.C_fin, step, self.steps_anneal)
              if is_train else jnp.asarray(self.C_fin, jnp.float32))
         loss = rec_loss + self.gamma * jnp.abs(kl_loss - C)
@@ -223,19 +252,28 @@ class BtcvaeLoss:
     needs_discriminator = False
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, **unused):
-        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
+                 latent_sample=None, n_valid=None, **unused):
+        rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
+                                       n_valid=n_valid)
         log_pz, log_qz, log_prod_qzi, log_q_zCx = _log_pz_qz_prodzi_qzCx(
-            latent_sample, latent_dist, self.n_data, is_mss=self.is_mss)
-        mi_loss = jnp.mean(log_q_zCx - log_qz)        # I[z;x]
-        tc_loss = jnp.mean(log_qz - log_prod_qzi)     # TC[z]
-        dw_kl_loss = jnp.mean(log_prod_qzi - log_pz)  # dim-wise KL
+            latent_sample, latent_dist, self.n_data, is_mss=self.is_mss,
+            n_valid=n_valid)
+
+        def batch_mean(x):
+            if n_valid is None:
+                return jnp.mean(x)
+            mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
+            return jnp.sum(mask * x) / n_valid
+
+        mi_loss = batch_mean(log_q_zCx - log_qz)        # I[z;x]
+        tc_loss = batch_mean(log_qz - log_prod_qzi)     # TC[z]
+        dw_kl_loss = batch_mean(log_prod_qzi - log_pz)  # dim-wise KL
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
         loss = rec_loss + (self.alpha * mi_loss
                            + self.beta * tc_loss
                            + anneal_reg * self.gamma * dw_kl_loss)
-        _, metrics = _kl_metrics(*latent_dist)
+        _, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
         metrics.update(recon_loss=rec_loss, loss=loss, mi_loss=mi_loss,
                        tc_loss=tc_loss, dw_kl_loss=dw_kl_loss)
         return loss, metrics
@@ -276,24 +314,36 @@ class FactorKLoss:
         return vae_loss, metrics
 
 
-def permute_dims(rng, latent_sample):
+def permute_dims(rng, latent_sample, n_valid=None):
     """Independently permute each latent dimension across the batch
     (reference losses.py:483-508). One fused gather instead of a per-dim
     Python loop: draw a (B, D) matrix of random keys, argsort along the batch
-    axis to get D independent permutations, then take_along_axis."""
+    axis to get D independent permutations, then take_along_axis.
+
+    With `n_valid`, only the first n_valid rows participate: their noise
+    sorts below the +inf assigned to padded rows, so they permute among
+    positions [0, n_valid) and padding sinks to the tail."""
     noise = jax.random.uniform(rng, latent_sample.shape)
+    if n_valid is not None:
+        valid = jnp.arange(latent_sample.shape[0])[:, None] < n_valid
+        noise = jnp.where(valid, noise, jnp.inf)
     pi = jnp.argsort(noise, axis=0)
     return jnp.take_along_axis(latent_sample, pi, axis=0)
 
 
-def softmax_cross_entropy(logits, labels):
-    """Mean cross entropy with integer labels (torch F.cross_entropy)."""
+def softmax_cross_entropy(logits, labels, n_valid=None):
+    """Mean cross entropy with integer labels (torch F.cross_entropy);
+    `n_valid` restricts the mean to the first n_valid rows."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if n_valid is None:
+        return jnp.mean(nll)
+    mask = (jnp.arange(nll.shape[0]) < n_valid).astype(nll.dtype)
+    return jnp.sum(mask * nll) / n_valid
 
 
 def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
-                     step, is_train=True):
+                     step, is_train=True, n_valid=None):
     """Single differentiable scalar whose gradients wrt (params, disc_params)
     reproduce the reference's dual-backward update exactly.
 
@@ -306,34 +356,58 @@ def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
     Surrogate: vae_loss(params, stop_grad(disc_params)) + d_tc_loss(params,
     disc_params). d/d(params) = both terms; d/d(disc_params) = d_tc only.
 
+    Batch split follows the reference's `data.split(half)` (losses.py:246-251):
+    data1 = rows [0, half), data2 = rows [half, 2*half) — on an odd batch the
+    trailing row is dropped. With `n_valid` (padded ragged batch under the
+    mesh) the same semantics hold at the TRUE size: half = n_valid // 2,
+    data2 starts at the traced offset `half`, and every reduction masks to
+    its half-count — so the padded step's loss/grads equal the unpadded ones.
+
     Returns (surrogate, aux) with aux carrying the metric scalars.
     """
-    half = data.shape[0] // 2
-    data1, data2 = data[:half], data[half:]
+    half_p = data.shape[0] // 2
+    if n_valid is None:
+        half = half_p
+        data1 = data[:half_p]
+        data2 = data[half_p:2 * half_p]
+    else:
+        half = n_valid // 2
+        data1 = data[:half_p]  # valid rows: [0, half)
+        data2 = jax.lax.dynamic_slice_in_dim(data, half, half_p, axis=0)
     rng1, rng2, rng_perm = jax.random.split(rng, 3)
+    n_valid_half = None if n_valid is None else half
 
     recon_batch, latent_dist, z1 = model.apply(params, data1, rng1,
                                                is_train=is_train)
-    rec_loss = reconstruction_loss(data1, recon_batch, loss_cfg.rec_dist)
-    kl_loss, kl_metrics = _kl_metrics(*latent_dist)
+    rec_loss = reconstruction_loss(data1, recon_batch, loss_cfg.rec_dist,
+                                   n_valid=n_valid_half)
+    kl_loss, kl_metrics = _kl_metrics(*latent_dist, n_valid=n_valid_half)
 
     disc_params_stop = jax.tree_util.tree_map(jax.lax.stop_gradient,
                                               disc_params)
     d_z_for_vae = disc.apply(disc_params_stop, z1)
-    tc_loss = jnp.mean(d_z_for_vae[:, 0] - d_z_for_vae[:, 1])
+    tc_diff = d_z_for_vae[:, 0] - d_z_for_vae[:, 1]
+    if n_valid_half is None:
+        tc_loss = jnp.mean(tc_diff)
+    else:
+        hmask = (jnp.arange(half_p) < half).astype(tc_diff.dtype)
+        tc_loss = jnp.sum(hmask * tc_diff) / half
     anneal_reg = (linear_annealing(0, 1, step, loss_cfg.steps_anneal)
                   if is_train else 1.0)
     vae_loss = rec_loss + kl_loss + anneal_reg * loss_cfg.gamma * tc_loss
 
     # Discriminator loss: real z1 vs detached permuted z2.
     z2 = model.sample_latent(params, data2, rng2, is_train=is_train)
-    z_perm = jax.lax.stop_gradient(permute_dims(rng_perm, z2))
+    z_perm = jax.lax.stop_gradient(
+        permute_dims(rng_perm, z2, n_valid=n_valid_half))
     d_z = disc.apply(disc_params, z1)
     d_z_perm = disc.apply(disc_params, z_perm)
-    zeros = jnp.zeros(half, dtype=jnp.int32)
-    ones = jnp.ones(half, dtype=jnp.int32)
-    d_tc_loss = 0.5 * (softmax_cross_entropy(d_z, zeros)
-                       + softmax_cross_entropy(d_z_perm, ones))
+    zeros = jnp.zeros(half_p, dtype=jnp.int32)
+    ones = jnp.ones(half_p, dtype=jnp.int32)
+    d_tc_loss = 0.5 * (softmax_cross_entropy(d_z, zeros,
+                                             n_valid=n_valid_half)
+                       + softmax_cross_entropy(d_z_perm, ones,
+                                               n_valid=n_valid_half))
 
     metrics = dict(kl_metrics)
     metrics.update(recon_loss=rec_loss, loss=vae_loss, tc_loss=tc_loss,
@@ -342,8 +416,16 @@ def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
     return surrogate, metrics
 
 
-def _log_pz_qz_prodzi_qzCx(latent_sample, latent_dist, n_data, is_mss=True):
-    """btcvae estimator internals (reference losses.py:523-544)."""
+def _log_pz_qz_prodzi_qzCx(latent_sample, latent_dist, n_data, is_mss=True,
+                           n_valid=None):
+    """btcvae estimator internals (reference losses.py:523-544).
+
+    With `n_valid` (traced), the batch is padded: rows past n_valid are
+    phantoms. Their mixture components are removed from the logsumexp via a
+    -inf column mask (the MSS weights already carry it; the MWS path gets an
+    explicit one), so rows < n_valid hold exactly the values the unpadded
+    batch would produce. Padded ROWS still compute (garbage); the caller's
+    batch means exclude them."""
     batch_size = latent_sample.shape[0]
     mean, logvar = latent_dist
 
@@ -354,9 +436,16 @@ def _log_pz_qz_prodzi_qzCx(latent_sample, latent_dist, n_data, is_mss=True):
 
     mat_log_qz = matrix_log_density_gaussian(latent_sample, mean, logvar)
     if is_mss:
-        log_iw = log_importance_weight_matrix(batch_size, n_data,
-                                              mat_log_qz.dtype)
+        if n_valid is None:
+            log_iw = log_importance_weight_matrix(batch_size, n_data,
+                                                  mat_log_qz.dtype)
+        else:
+            log_iw = log_importance_weight_matrix_masked(
+                batch_size, n_valid, n_data, mat_log_qz.dtype)
         mat_log_qz = mat_log_qz + log_iw[:, :, None]
+    elif n_valid is not None:
+        col_mask = jnp.where(jnp.arange(batch_size) < n_valid, 0.0, -jnp.inf)
+        mat_log_qz = mat_log_qz + col_mask[None, :, None]
 
     log_qz = jax.scipy.special.logsumexp(jnp.sum(mat_log_qz, axis=2), axis=1)
     log_prod_qzi = jnp.sum(jax.scipy.special.logsumexp(mat_log_qz, axis=1),

@@ -45,3 +45,28 @@ def log_importance_weight_matrix(batch_size, dataset_size,
     W = W.at[:, 1].set(strat_weight)
     W = W.at[M - 1, 0].set(strat_weight)
     return jnp.log(W)
+
+
+def log_importance_weight_matrix_masked(padded_size, n_valid, dataset_size,
+                                        dtype=jnp.float32):
+    """MSS log-weights for a batch PADDED to `padded_size` whose first
+    `n_valid` rows are real (`n_valid` may be traced).
+
+    Entries inside the valid block equal log_importance_weight_matrix built
+    for batch_size == n_valid — including the reference's column fill quirk
+    — while padded columns are -inf so the phantom mixture components vanish
+    under the downstream logsumexp. Padded ROWS still produce values; callers
+    exclude them from batch means. Used by the data-parallel path to keep the
+    ragged final batch loss-exact (reference math.py:54-73 with B = the true
+    batch size).
+    """
+    N = jnp.asarray(dataset_size, dtype)
+    M = jnp.asarray(n_valid, dtype) - 1.0
+    strat_weight = (N - M) / (N * M)
+    i = jnp.arange(padded_size)[:, None]
+    j = jnp.arange(padded_size)[None, :]
+    W = jnp.full((padded_size, padded_size), 1.0, dtype) / M
+    W = jnp.where(j == 0, 1.0 / N, W)
+    W = jnp.where(j == 1, strat_weight, W)
+    W = jnp.where((i == n_valid - 2) & (j == 0), strat_weight, W)
+    return jnp.where(j < n_valid, jnp.log(W), -jnp.inf)

@@ -73,32 +73,58 @@ def pad_to_multiple(batch, multiple):
     return np.concatenate([batch, pad], axis=0), b
 
 
-def make_sharded_train_step(step_fn, mesh, donate=True):
+def _state_shardings(mesh, state):
+    """Replicated state shardings, except: when the mesh has a real 'model'
+    axis and a state pytree is given, the FactorVAE discriminator's hidden
+    weights go column-parallel (see tp_state_shardings)."""
+    if state is not None and mesh.shape.get("model", 1) > 1:
+        return tp_state_shardings(mesh, state)
+    return replicate(mesh)
+
+
+def make_sharded_train_step(step_fn, mesh, donate=True, state=None):
     """Wrap a (state, batch) -> (state, metrics) step for the mesh.
 
-    State (params, both Adam moments, RNG, step counter) is replicated;
-    the batch is split over 'data'. XLA's SPMD partitioner derives every
-    internal sharding from these two annotations: per-shard forward/backward,
+    State (params, both Adam moments, RNG, step counter) is replicated —
+    or TP-sharded via `state` when the mesh has a 'model' axis > 1; the
+    batch is split over 'data'. XLA's SPMD partitioner derives every
+    internal sharding from these annotations: per-shard forward/backward,
     gradient all-reduce over ICI, and the (B, D) -> (B, B, D) all-gather
     inside btcvae.
     """
+    st = _state_shardings(mesh, state)
     rep = replicate(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn,
-                   in_shardings=(rep, bsh),
-                   out_shardings=(rep, rep),
+                   in_shardings=(st, bsh),
+                   out_shardings=(st, rep),
                    donate_argnums=(0,) if donate else ())
 
 
-def make_sharded_multi_train_step(multi_fn, mesh, donate=True):
+def make_sharded_padded_train_step(step_fn, mesh, donate=True, state=None):
+    """Sharded (state, padded_batch, n_valid) -> (state, metrics) step: the
+    batch (padded so its leading dim divides the 'data' axis) is sharded,
+    `n_valid` (the true batch size) is a replicated traced scalar feeding
+    the mask-aware losses."""
+    st = _state_shardings(mesh, state)
+    rep = replicate(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step_fn,
+                   in_shardings=(st, bsh, rep),
+                   out_shardings=(st, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_multi_train_step(multi_fn, mesh, donate=True, state=None):
     """Sharded K-step super-step: batches are (K, B, ...) with B split over
     'data' (scan iterates the leading axis; each scanned batch keeps the
     per-step sharding)."""
+    st = _state_shardings(mesh, state)
     rep = replicate(mesh)
     bsh = NamedSharding(mesh, P(None, "data"))
     return jax.jit(multi_fn,
-                   in_shardings=(rep, bsh),
-                   out_shardings=(rep, rep),
+                   in_shardings=(st, bsh),
+                   out_shardings=(st, rep),
                    donate_argnums=(0,) if donate else ())
 
 

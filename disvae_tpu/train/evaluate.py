@@ -79,16 +79,59 @@ class Evaluator:
                     rng = jax.random.PRNGKey(0)
                 disc_params = disc.init(rng)
         self.disc_params = disc_params
+        self.mesh = mesh
         if mesh is not None:
-            from disvae_tpu.parallel.mesh import make_sharded_eval_step
-            raw = make_eval_step(model, loss_f, disc=disc)
-            self._eval_step = make_sharded_eval_step(raw, mesh)
-        else:
-            self._eval_step = make_eval_step(model, loss_f, disc=disc)
+            # Params live replicated on the mesh; batches are device_put
+            # split over 'data' when their size divides the axis (the
+            # common case) and fed from host otherwise (GSPMD then runs
+            # the step replicated — correct, just unsharded, and only ever
+            # hit by a ragged final batch). Plain jax.jit picks up either
+            # input sharding and partitions accordingly, so ONE step
+            # definition serves both layouts.
+            from disvae_tpu.parallel.mesh import replicate
+            rep = replicate(mesh)
+            self.params = jax.device_put(self.params, rep)
+            if self.disc_params is not None:
+                self.disc_params = jax.device_put(self.disc_params, rep)
+        self._eval_step = make_eval_step(model, loss_f, disc=disc)
         self._encode = jax.jit(lambda p, x: model.encode(
             p, _decompress_batch(x, model.img_size)))
         self.logger.info("Testing Device: {}".format(
             jax.devices()[0].platform))
+
+    def _place_batch(self, batch):
+        """numpy batch -> device array: split over the mesh's 'data' axis
+        when possible, host-fed (replicated compute) otherwise."""
+        if self.mesh is not None \
+                and batch.shape[0] % self.mesh.shape["data"] == 0:
+            from disvae_tpu.parallel.mesh import batch_sharding
+            return jax.device_put(batch, batch_sharding(self.mesh))
+        return jnp.asarray(batch)
+
+    def _shard_samples(self, values):
+        """Split the trailing (sample) axis of an entropy-estimation operand
+        over the mesh's 'data' axis. The marginal-entropy MC estimate is
+        embarrassingly parallel across samples — each device evaluates ALL
+        mixture components against its sample slice, so the (components,
+        latent_dim, samples) log-density brick shards with zero collectives
+        until the final per-sample reduction (an XLA psum over ICI). This is
+        the wall-clock-dominant eval (reference evaluate.py:233-297)."""
+        if self.mesh is None:
+            return values
+        axis = self.mesh.shape["data"]
+        if values.shape[-1] % axis != 0:
+            return values
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(*([None] * (values.ndim - 1) + ["data"]))
+        return jax.device_put(values, NamedSharding(self.mesh, spec))
+
+    def _replicate(self, tree):
+        """Pin arrays replicated on the mesh (no-op without one) so the
+        entropy jits see a deterministic layout."""
+        if self.mesh is None:
+            return tree
+        from disvae_tpu.parallel.mesh import replicate
+        return jax.device_put(tree, replicate(self.mesh))
 
     def __call__(self, data_loader, is_metrics=False, is_losses=True):
         start = default_timer()
@@ -109,15 +152,18 @@ class Evaluator:
 
     def compute_losses(self, dataloader):
         """Test losses — first-batch values / n_batches (reference quirk,
-        see module docstring)."""
+        see module docstring). An empty loader yields an empty dict (the
+        reference would return None and write nothing)."""
         n_batches = len(dataloader)
         for data, _ in dataloader:
-            batch = jnp.asarray(np.asarray(data))
+            batch = self._place_batch(np.asarray(data))
             metrics = self._eval_step(self.params, self.disc_params, batch)
             # one packed transfer instead of a per-scalar fetch per key
             keys = sorted(metrics)
             vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
             return {k: float(v) / n_batches for k, v in zip(keys, vals)}
+        self.logger.warning("compute_losses: empty data loader.")
+        return {}
 
     # ------------------------------------------------------------------
     # MIG / AAM
@@ -137,12 +183,18 @@ class Evaluator:
                 "{}".format(type(dataloader.dataset).__name__))
 
         self.logger.info("Computing the empirical distribution q(z|x).")
-        if hasattr(dataloader, "raw") and hasattr(dataloader.dataset,
+        raw_before = getattr(dataloader, "raw", None)
+        try:
+            if raw_before is not None and hasattr(dataloader.dataset,
                                                   "get_batch_raw"):
-            # full-dataset encode: ship wire-format batches (bitpacked for
-            # binary datasets — 32x less than f32); _encode decompresses
-            dataloader.raw = True
-        samples_zCx, params_zCx = self._compute_q_zCx(dataloader)
+                # full-dataset encode: ship wire-format batches (bitpacked
+                # for binary datasets — 32x less than f32); _encode
+                # decompresses on device
+                dataloader.raw = True
+            samples_zCx, params_zCx = self._compute_q_zCx(dataloader)
+        finally:
+            if raw_before is not None:
+                dataloader.raw = raw_before
 
         self.logger.info("Estimating the marginal entropy.")
         H_z = self._estimate_latent_entropies(samples_zCx, params_zCx)
@@ -212,7 +264,7 @@ class Evaluator:
             # stays on device: the entropy estimators consume these arrays
             # there, so a host round-trip per batch would be pure latency
             chunks.append(self._encode(self.params,
-                                       jnp.asarray(np.asarray(x))))
+                                       self._place_batch(np.asarray(x))))
 
         def tree_concat(parts):
             # hierarchical: a single concatenate over ~700 operands is an
@@ -253,10 +305,11 @@ class Evaluator:
             values = selected.T
 
         mu, logvar = params_zCx
+        mu, logvar = self._replicate(mu), self._replicate(logvar)
         log_M = math.log(M)
         H = np.zeros(D, np.float64)
         for s0 in range(0, S, _SAMPLE_CHUNK):
-            v = values[:, s0:s0 + _SAMPLE_CHUNK]
+            v = self._shard_samples(values[:, s0:s0 + _SAMPLE_CHUNK])
             log_qz = _streaming_log_qz(v, mu, logvar)  # (D, s_chunk)
             H += np.asarray(jnp.sum(log_M - log_qz, axis=1), np.float64)
         return H / S
@@ -304,6 +357,7 @@ class Evaluator:
             values = jnp.swapaxes(selected, 1, 2)
 
         mu, logvar = params_zCx
+        mu, logvar = self._replicate(mu), self._replicate(logvar)
         log_M = math.log(M)
         H = np.zeros((L, D), np.float64)
         # the in-flight brick is (L, comp_chunk, D, sample_chunk) — scale the
@@ -313,7 +367,7 @@ class Evaluator:
             partial(_streaming_log_qz, comp_chunk=comp_chunk),
             in_axes=(0, 0, 0))
         for s0 in range(0, S, _SAMPLE_CHUNK):
-            v = values[:, :, s0:s0 + _SAMPLE_CHUNK]
+            v = self._shard_samples(values[:, :, s0:s0 + _SAMPLE_CHUNK])
             log_qz = vmapped(v, mu, logvar)  # (L, D, s_chunk)
             H += np.asarray(jnp.sum(log_M - log_qz, axis=2), np.float64)
         return H / S

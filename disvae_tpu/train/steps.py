@@ -39,9 +39,10 @@ def make_disc_optimizer(loss_cfg):
 
 
 def make_train_step(model, loss_cfg, optimizer, disc=None,
-                    disc_optimizer=None, donate=True, mesh=None):
+                    disc_optimizer=None, donate=True, mesh=None, state=None):
     """Build the jitted training step for `loss_cfg`. With a mesh, the step
-    is compiled SPMD: state replicated, batch sharded over the 'data' axis
+    is compiled SPMD: state replicated (or TP-sharded when `state` is given
+    and the mesh has a 'model' axis > 1), batch sharded over the 'data' axis
     (see disvae_tpu/parallel/mesh.py)."""
     if loss_cfg.needs_discriminator:
         assert disc is not None and disc_optimizer is not None
@@ -51,7 +52,33 @@ def make_train_step(model, loss_cfg, optimizer, disc=None,
         step_fn = partial(_standard_train_step, model, loss_cfg, optimizer)
     if mesh is not None:
         from disvae_tpu.parallel.mesh import make_sharded_train_step
-        return make_sharded_train_step(step_fn, mesh, donate=donate)
+        return make_sharded_train_step(step_fn, mesh, donate=donate,
+                                       state=state)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_padded_train_step(model, loss_cfg, optimizer, disc=None,
+                           disc_optimizer=None, donate=True, mesh=None,
+                           state=None):
+    """Jitted step for PADDED ragged batches:
+    (state, batch, n_valid) -> (state, metrics), where `batch` has been
+    host-padded so its leading dim divides the mesh's data axis and the
+    traced scalar `n_valid` is the true (pre-pad) batch size. Every
+    batch-size-dependent quantity — reconstruction/KL means, the MSS
+    importance weights, FactorVAE's half split — is computed at `n_valid`,
+    so the result is bit-comparable to the unpadded step (see
+    ops/losses.py masked paths). Compiled once per padded shape; only the
+    final batch of an epoch ever uses it."""
+    if loss_cfg.needs_discriminator:
+        assert disc is not None and disc_optimizer is not None
+        step_fn = partial(_factor_train_step, model, loss_cfg, optimizer,
+                          disc, disc_optimizer)
+    else:
+        step_fn = partial(_standard_train_step, model, loss_cfg, optimizer)
+    if mesh is not None:
+        from disvae_tpu.parallel.mesh import make_sharded_padded_train_step
+        return make_sharded_padded_train_step(step_fn, mesh, donate=donate,
+                                              state=state)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -106,7 +133,8 @@ def _decompress_batch(batch, img_size=None):
     return batch.astype(jnp.float32) * (1.0 / 255.0)
 
 
-def _standard_train_step(model, loss_cfg, optimizer, state, batch):
+def _standard_train_step(model, loss_cfg, optimizer, state, batch,
+                         n_valid=None):
     batch = _decompress_batch(batch, model.img_size)
     step = state.step + 1  # incremented before use, like _pre_call
     rng, rng_reparam = jax.random.split(state.rng)
@@ -115,7 +143,7 @@ def _standard_train_step(model, loss_cfg, optimizer, state, batch):
         recon, latent_dist, z = model.apply(params, batch, rng_reparam,
                                             is_train=True)
         return loss_cfg(batch, recon, latent_dist, True, step,
-                        latent_sample=z)
+                        latent_sample=z, n_valid=n_valid)
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
@@ -127,7 +155,7 @@ def _standard_train_step(model, loss_cfg, optimizer, state, batch):
 
 
 def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
-                       state, batch):
+                       state, batch, n_valid=None):
     """FactorVAE step. One jax.grad over the surrogate scalar reproduces the
     reference's grad flow for both parameter sets; both updates are computed
     from the pre-step parameters and applied together, matching the
@@ -139,7 +167,8 @@ def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
 
     def loss_fn(params, disc_params):
         return L.factor_surrogate(loss_cfg, model, disc, params, disc_params,
-                                  batch, rng_loss, step, is_train=True)
+                                  batch, rng_loss, step, is_train=True,
+                                  n_valid=n_valid)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
     (_, metrics), (grads, disc_grads) = grad_fn(state.params,
@@ -165,7 +194,8 @@ def stack_metrics(metrics, key_order):
 
 
 def make_multi_train_step(model, loss_cfg, optimizer, disc=None,
-                          disc_optimizer=None, donate=True, mesh=None):
+                          disc_optimizer=None, donate=True, mesh=None,
+                          state=None):
     """Build a jitted K-step training super-step:
     (state, batches (K, B, ...)) -> (state, metrics dict of (K,) arrays).
 
@@ -186,5 +216,6 @@ def make_multi_train_step(model, loss_cfg, optimizer, disc=None,
 
     if mesh is not None:
         from disvae_tpu.parallel.mesh import make_sharded_multi_train_step
-        return make_sharded_multi_train_step(multi, mesh, donate=donate)
+        return make_sharded_multi_train_step(multi, mesh, donate=donate,
+                                             state=state)
     return jax.jit(multi, donate_argnums=(0,) if donate else ())

@@ -69,8 +69,6 @@ class Trainer:
         self.is_progress_bar = is_progress_bar
         self.gif_visualizer = gif_visualizer
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
-        self.losses_logger = LossesLogger(
-            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE), append=resume)
         self.mesh = mesh
         self._start_epoch = 0
 
@@ -85,6 +83,8 @@ class Trainer:
             disc = Discriminator(latent_dim=loss_f.latent_dim)
             disc_optimizer = make_disc_optimizer(loss_f)
         self.disc = disc
+        self._optimizer = optimizer
+        self._disc_optimizer = disc_optimizer
         self.state = create_train_state(model, params, optimizer, rng,
                                         disc=disc,
                                         disc_optimizer=disc_optimizer,
@@ -92,14 +92,22 @@ class Trainer:
         self._train_step = make_train_step(model, loss_f, optimizer,
                                            disc=disc,
                                            disc_optimizer=disc_optimizer,
-                                           mesh=mesh)
+                                           mesh=mesh, state=self.state)
         self._multi_step = make_multi_train_step(model, loss_f, optimizer,
                                                  disc=disc,
                                                  disc_optimizer=disc_optimizer,
-                                                 mesh=mesh)
+                                                 mesh=mesh, state=self.state)
+        self._padded_step = None  # built on first ragged batch under a mesh
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
         if resume:
             self.load_checkpoint()
+        # The log is truncated to rows strictly before the resume epoch: after
+        # a hard kill (no SIGTERM checkpoint) the CSV may already hold rows
+        # for epochs that will be re-run, and --resume with no checkpoint
+        # must start a fresh log rather than append to a stale one.
+        self.losses_logger = LossesLogger(
+            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE),
+            resume_from_epoch=self._start_epoch if resume else None)
         self.logger.info("Training Device: {}".format(
             jax.devices()[0].platform))
 
@@ -215,6 +223,32 @@ class Trainer:
             self.logger.info("Throughput: {:.0f} images/sec.".format(
                 n_images / (delta_time * 60)))
 
+    def _get_padded_step(self):
+        """Lazily built mask-aware step for padded ragged batches
+        ((state, padded_batch, n_valid) -> (state, metrics))."""
+        if self._padded_step is None:
+            from disvae_tpu.train.steps import make_padded_train_step
+            self._padded_step = make_padded_train_step(
+                self.model, self.loss_f, self._optimizer, disc=self.disc,
+                disc_optimizer=self._disc_optimizer, mesh=self.mesh,
+                state=self.state)
+        return self._padded_step
+
+    def _n_dispatches(self, data_loader):
+        """Number of items the prefetch iterator will yield for one epoch:
+        full runs of K equal-shaped batches stack into one superbatch each,
+        the remainder (and a ragged final batch) come through singly."""
+        n_batches = len(data_loader)
+        k = self.steps_per_dispatch
+        if k <= 1:
+            return n_batches
+        n = len(getattr(data_loader, "dataset", []) or [])
+        bs = getattr(data_loader, "batch_size", None)
+        ragged = bool(bs and n and n % bs
+                      and not getattr(data_loader, "drop_last", False))
+        n_full = n_batches - (1 if ragged else 0)
+        return n_full // k + n_full % k + (1 if ragged else 0)
+
     def _train_epoch(self, data_loader, epoch):
         """One epoch. Returns (mean loss over all steps, storer dict of means
         over recorded steps)."""
@@ -229,29 +263,53 @@ class Trainer:
             from disvae_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
             super_sharding = NamedSharding(self.mesh, P(None, "data"))
-        if hasattr(data_loader, "raw") and hasattr(data_loader.dataset,
-                                                   "get_batch_raw"):
-            # feed wire-format uint8: 4x less host->device traffic; the
-            # compiled step decompresses on device (steps._decompress_batch)
-            data_loader.raw = True
-        iterator = DevicePrefetcher(data_loader, sharding=sharding,
-                                    superbatch_k=self.steps_per_dispatch,
-                                    super_sharding=super_sharding)
-        if self.is_progress_bar:
-            from tqdm import tqdm
-            iterator = tqdm(iterator, desc="Epoch {}".format(epoch + 1),
-                            leave=False, total=len(data_loader))
+        raw_before = getattr(data_loader, "raw", None)
+        try:
+            if raw_before is not None and hasattr(data_loader.dataset,
+                                                  "get_batch_raw"):
+                # feed wire-format uint8: 4x less host->device traffic; the
+                # compiled step decompresses on device
+                # (steps._decompress_batch)
+                data_loader.raw = True
+            pad_multiple = None
+            if self.mesh is not None:
+                # a ragged final batch must be padded up to the data-axis
+                # size before the sharded device_put; the padded step keeps
+                # the loss exact at the true size (ops/losses.py masks)
+                pad_multiple = int(self.mesh.shape["data"])
+            multihost = jax.process_count() > 1
+            iterator = DevicePrefetcher(data_loader, sharding=sharding,
+                                        superbatch_k=self.steps_per_dispatch,
+                                        super_sharding=super_sharding,
+                                        pad_multiple=pad_multiple,
+                                        multihost=multihost)
+            if self.is_progress_bar:
+                from tqdm import tqdm
+                iterator = tqdm(iterator, desc="Epoch {}".format(epoch + 1),
+                                leave=False,
+                                total=self._n_dispatches(data_loader))
 
-        for batch, _ in iterator:
-            # single batches are (B, H, W, C) or bitpacked (B, n_bytes);
-            # superbatches carry one extra leading K axis
-            bits = batch.dtype == jnp.uint8 and batch.ndim in (2, 3)
-            is_super = batch.ndim == (3 if bits else 5)
-            if is_super:
-                self.state, metrics = self._multi_step(self.state, batch)
-            else:
-                self.state, metrics = self._train_step(self.state, batch)
-            device_metrics.append(stack_metrics(metrics, self.metric_keys))
+            for batch, _ in iterator:
+                if isinstance(batch, tuple):  # host-padded ragged batch
+                    padded, true_n = batch
+                    self.state, metrics = self._get_padded_step()(
+                        self.state, padded, np.int32(true_n))
+                    device_metrics.append(
+                        stack_metrics(metrics, self.metric_keys))
+                    continue
+                # single batches are (B, H, W, C) or bitpacked (B, n_bytes);
+                # superbatches carry one extra leading K axis
+                bits = batch.dtype == jnp.uint8 and batch.ndim in (2, 3)
+                is_super = batch.ndim == (3 if bits else 5)
+                if is_super:
+                    self.state, metrics = self._multi_step(self.state, batch)
+                else:
+                    self.state, metrics = self._train_step(self.state, batch)
+                device_metrics.append(
+                    stack_metrics(metrics, self.metric_keys))
+        finally:
+            if raw_before is not None:
+                data_loader.raw = raw_before
 
         if not device_metrics:
             return float("nan"), {}
@@ -274,13 +332,27 @@ class Trainer:
 class LossesLogger:
     """CSV metric log, byte-compatible with the reference's
     `train_losses.log` (training.py:167-196): header `Epoch,Loss,Value`, one
-    row per (epoch, key, mean-over-recorded-steps). Any pre-existing file is
-    replaced unless `append` (resume) is set."""
+    row per (epoch, key, mean-over-recorded-steps).
 
-    def __init__(self, file_path_name, append=False):
+    `resume_from_epoch=None` (a fresh run) replaces any pre-existing file.
+    With `resume_from_epoch=e`, rows with Epoch >= e are dropped so a run
+    restarted from an older checkpoint never leaves duplicate Epoch rows in
+    the load-bearing artifact the viz CLI parses back; e=0 (resume requested
+    but no checkpoint found) degenerates to a fresh log."""
+
+    def __init__(self, file_path_name, resume_from_epoch=None):
         self.path = file_path_name
         os.makedirs(os.path.dirname(file_path_name) or ".", exist_ok=True)
-        if append and os.path.isfile(file_path_name):
+        if resume_from_epoch is not None and resume_from_epoch > 0 \
+                and os.path.isfile(file_path_name):
+            with open(file_path_name) as f:
+                lines = f.readlines()
+            kept = [ln for ln in lines[1:]
+                    if ln.strip()
+                    and int(ln.split(",", 1)[0]) < resume_from_epoch]
+            with open(self.path, "w") as f:
+                f.write("Epoch,Loss,Value\n")
+                f.writelines(kept)
             return
         if os.path.isfile(file_path_name):
             os.remove(file_path_name)

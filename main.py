@@ -85,6 +85,13 @@ def parse_arguments(args_to_parse):
                          help='Train single-device even when multiple chips '
                               'are visible (data parallelism over all '
                               'devices is otherwise the default).')
+    general.add_argument('--resident-data', default='auto',
+                         choices=['auto', 'always', 'never'],
+                         help='Keep the wire-format dataset resident in '
+                              'device memory and feed epochs by index '
+                              '(one host->device transfer total). "auto" '
+                              'adopts it when the dataset fits the '
+                              'residency budget.')
 
     training = parser.add_argument_group('Training specific options')
     training.add_argument('--checkpoint-every', type=int,
@@ -285,6 +292,7 @@ def main(args):
                           is_progress_bar=not args.no_progress_bar,
                           gif_visualizer=gif_visualizer,
                           mesh=mesh,
+                          resident=args.resident_data,
                           resume=args.resume)
         if args.profile:
             profile_dir = os.path.join(exp_dir, "profile")

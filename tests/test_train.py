@@ -483,3 +483,37 @@ def test_mesh_trainer_resume_with_ragged(tmp_path, tiny_dataset):
     log = open(tmp_path / "train_losses.log").read()
     assert log.count("\n0,loss,") == 1
     assert int(t_b.state.step) == 12
+
+
+@pytest.mark.parametrize("mesh_on", [False, True], ids=["single", "mesh"])
+def test_resident_feed_matches_streaming(tmp_path, tiny_dataset, mesh_on):
+    """The HBM-resident dataset feed (one device transfer, epochs fed by
+    index; data/resident.py) must reproduce the streaming pipeline's losses
+    and params exactly: same DataLoader.epoch_order permutation, same wire
+    format, same steps — including the ragged 26-row tail (90 % 32)."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    imgs = tiny_dataset.imgs[:90]
+    cfg = L.BtcvaeLoss(n_data=90, alpha=1, beta=6, gamma=1, steps_anneal=20)
+    mesh = create_mesh() if mesh_on else None
+
+    def run(resident):
+        ds = ArrayDataset(imgs)
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        tr = Trainer(model, params, cfg, lr=1e-3,
+                     rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                     is_progress_bar=False, mesh=mesh, resident=resident)
+        losses = [tr._train_epoch(loader, e)[0] for e in range(2)]
+        return losses, tr.state
+
+    l_stream, s_stream = run("never")
+    l_res, s_res = run("always")
+    for a, b in zip(l_stream, l_res):
+        assert a == pytest.approx(b, rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_stream.params),
+                    jax.tree_util.tree_leaves(s_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    assert int(s_stream.step) == int(s_res.step) == 6

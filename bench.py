@@ -31,6 +31,10 @@ import sys
 import tempfile
 import time
 
+# Persistent compile cache: tunnel compiles cost minutes; must be set before
+# jax initializes (driver invocations don't export it).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import jax
 import numpy as np
 

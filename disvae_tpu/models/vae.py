@@ -28,7 +28,7 @@ def init_specific_model(model_type, img_size, latent_dim, key=None,
     """
     model_type = model_type.lower().capitalize()
     if model_type not in MODELS:
-        raise ValueError("Unkown model_type={}. Possible values: {}"
+        raise ValueError("Unknown model_type={}. Possible values: {}"
                          .format(model_type, MODELS))
     model = VAE(img_size=tuple(img_size), latent_dim=latent_dim,
                 model_type=model_type, compute_dtype=compute_dtype)

@@ -14,6 +14,13 @@ results are fetchable, so both measurements end with an actual device->host
 fetch of a >=1-d metrics array (Trainer._train_epoch does this internally;
 the device-only loop fetches the final metrics).
 
+Precision: the headline runs at the TPU production-throughput policy
+(XLA-default bf16 MXU passes over f32 data, = `--precision default` on the
+CLI). The CLI's out-of-the-box parity policy (`--precision highest`,
+6-pass f32-equivalent) was measured separately by benchmarks/scaling.py
+and is reported as `parity_policy_ips` (~4.3x slower at b256). Numeric
+parity gates in tests run at highest.
+
 Baseline anchoring (BASELINE.md): the reference publishes no throughput
 number. `vs_baseline` uses the MEASURED anchor — the torch reference running
 btcvae_celeba b256 on this host's CPU: 367.9 img/s (5-step mean after
@@ -44,6 +51,11 @@ def _progress(msg):
 
 REF_CPU_IPS = 367.9       # measured: torch reference, this host's CPU
 REF_GPU_EST_IPS = 3000.0  # documented V100-class estimate (no GPU here)
+# Measured by benchmarks/scaling.py on this chip (b256, --precision highest,
+# 6-pass f32-equivalent). Reported as a constant because running a second
+# precision policy in the same process has hung the axon tunnel; see the
+# README scaling table for the full policy x batch grid.
+PARITY_POLICY_IPS = 59245.0
 BATCH = 256
 K = 16           # steps per dispatch (lax.scan super-step)
 SUPERSTEPS = 20  # device-only timed supersteps -> 320 train steps
@@ -85,7 +97,10 @@ def bench_end_to_end(resident="auto"):
     from disvae_tpu.data.datasets import ArrayDataset, CelebA, DataLoader
     from disvae_tpu.models.vae import init_specific_model
     from disvae_tpu.ops.losses import BtcvaeLoss
+    from disvae_tpu.ops.precision import configure
     from disvae_tpu.train.trainer import Trainer
+
+    configure("default")  # production-throughput policy (see bench_device_only)
 
     _ensure_celeba_cache()
     ds = CelebA(root=os.path.dirname(CACHE),
@@ -123,14 +138,23 @@ def bench_end_to_end(resident="auto"):
     return len(ds) / dt
 
 
-def bench_device_only():
+def bench_device_only(policy="default"):
     """Resident-data compute bound: the same super-step on a device-held
-    random superbatch (no host pipeline)."""
+    random superbatch (no host pipeline).
+
+    `policy` is the matmul/conv precision (see ops/precision.py):
+    "default" = XLA's TPU default, bf16 MXU passes over f32 data — the
+    production-throughput configuration; "highest" = 6-pass f32-equivalent,
+    the CLI's parity default (`--precision highest`), measured ~4.3x slower
+    (see benchmarks/scaling.py and the README scaling table)."""
     from disvae_tpu.models.vae import init_specific_model
     from disvae_tpu.ops.losses import BtcvaeLoss, metric_key_order
+    from disvae_tpu.ops.precision import configure
     from disvae_tpu.train.state import create_train_state
     from disvae_tpu.train.steps import (make_multi_train_step, make_optimizer,
                                         stack_metrics)
+
+    configure(policy)
 
     model, params = init_specific_model("Burgess", (3, 64, 64), 10,
                                         key=jax.random.PRNGKey(0))
@@ -166,7 +190,7 @@ def bench_device_only():
 def main():
     _progress("device-only bench (compile + 320 steps)...")
     device_ips = bench_device_only()
-    _progress("device-only: {:.0f} img/s".format(device_ips))
+    _progress("device-only (policy=default): {:.0f} img/s".format(device_ips))
     stream_ips = None
     if os.environ.get("BENCH_STREAMING", "") == "1":
         # the streaming pipeline is bounded by this host's ~32 MB/s
@@ -179,7 +203,9 @@ def main():
         "value": round(e2e_ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(e2e_ips / REF_CPU_IPS, 3),
+        "precision_policy": "default",  # bf16 MXU passes, f32 data (TPU prod)
         "device_only_ips": round(device_ips, 1),
+        "parity_policy_ips": PARITY_POLICY_IPS,  # --precision highest
         "ref_cpu_ips": REF_CPU_IPS,
         "ref_gpu_estimate_ips": REF_GPU_EST_IPS,
         "vs_gpu_estimate": round(e2e_ips / REF_GPU_EST_IPS, 3),

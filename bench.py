@@ -119,7 +119,10 @@ def bench_end_to_end(resident="auto"):
     # warmup: compile the epoch programs and pay the first-transfer cost
     loader = DataLoader(ds, batch_size=BATCH, shuffle=True, seed=0)
     if resident == "never":
-        warm_n = 3 * K * BATCH + (len(ds) % BATCH)  # incl. a ragged batch
+        # 3 superbatches + ONE leftover single full batch (so the plain
+        # per-batch program the epoch's K-indivisible tail needs compiles
+        # in warmup too) + the ragged batch
+        warm_n = (3 * K + 1) * BATCH + (len(ds) % BATCH)
         warm_ds = ArrayDataset(np.asarray(ds.imgs[:warm_n]))
         warm_loader = DataLoader(warm_ds, batch_size=BATCH, shuffle=True,
                                  seed=0)

@@ -92,7 +92,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=128, shuffle=False, seed=None,
-                 drop_last=False, raw=False, host_slice=None):
+                 drop_last=False, raw=False, host_slice=None,
+                 pad_global_to=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -101,10 +102,28 @@ class DataLoader:
         self.raw = raw  # yield wire-format uint8 (see get_batch_raw)
         # Multi-host feeding: host_slice=(process_index, process_count)
         # makes this loader yield only this host's rows of every global
-        # batch (contiguous np.array_split shares, so the union over all
-        # hosts is exactly the global permutation). The permutation itself
-        # is (seed, epoch)-keyed, hence identical on every host.
+        # batch (contiguous shares, so the union over all hosts is exactly
+        # the global permutation). The permutation itself is (seed,
+        # epoch)-keyed, hence identical on every host.
+        #
+        # With pad_global_to=M (the mesh's data-axis size; required for
+        # SPMD feeding), every global batch's index list is first padded up
+        # to the next multiple of M by repeating its last index, then split
+        # into process_count EQUAL contiguous shares. This keeps all hosts
+        # yielding the same number of identically-shaped batches (no
+        # collective desync) and puts every pad row at the END of the
+        # assembled global batch, which is what the mask-aware padded step
+        # assumes (ops/losses.py masks the first true-size rows); the true
+        # global size comes from `global_batch_sizes()`. Without
+        # pad_global_to, shares are np.array_split (possibly uneven/empty)
+        # — exact-union semantics for host-local consumers only.
         self.host_slice = host_slice
+        self.pad_global_to = pad_global_to
+        if host_slice is not None and pad_global_to is not None:
+            if pad_global_to % host_slice[1]:
+                raise ValueError(
+                    "pad_global_to={} must be divisible by process_count={}"
+                    .format(pad_global_to, host_slice[1]))
         self._epoch = 0
 
     def __len__(self):
@@ -112,6 +131,16 @@ class DataLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def global_batch_sizes(self):
+        """TRUE global size of each batch this epoch, independent of any
+        host_slice/padding — the mask-aware padded step needs the global
+        (not host-local) valid-row count."""
+        n = len(self.dataset)
+        sizes = [self.batch_size] * (n // self.batch_size)
+        if not self.drop_last and n % self.batch_size:
+            sizes.append(n % self.batch_size)
+        return sizes
 
     def epoch_order(self):
         """This epoch's index order; advances the epoch counter. Shared by
@@ -137,9 +166,19 @@ class DataLoader:
                 break
             if self.host_slice is not None:
                 pi, pn = self.host_slice
-                idcs = np.array_split(idcs, pn)[pi]
-                if len(idcs) == 0:
-                    continue
+                if self.pad_global_to is not None:
+                    m = self.pad_global_to
+                    padded_n = -(-len(idcs) // m) * m
+                    if padded_n > len(idcs):
+                        idcs = np.concatenate(
+                            [idcs, np.repeat(idcs[-1:],
+                                             padded_n - len(idcs))])
+                    share = padded_n // pn
+                    idcs = idcs[pi * share:(pi + 1) * share]
+                else:
+                    idcs = np.array_split(idcs, pn)[pi]
+                    if len(idcs) == 0:
+                        continue
             if self.raw:
                 yield self.dataset.get_batch_raw(idcs)
             else:

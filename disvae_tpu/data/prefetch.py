@@ -93,13 +93,36 @@ class DevicePrefetcher:
                     return False
             return True
 
+        # Multi-host: every host-local batch arrives pre-padded to an equal
+        # share of the (globally padded) batch by DataLoader(pad_global_to=
+        # data-axis); raggedness and the valid-row count are properties of
+        # the GLOBAL batch, so both come from the loader's global structure
+        # — the local share size would be wrong (and per-host divergent).
+        global_sizes = None
+        if self.multihost and self.pad_multiple \
+                and getattr(self.loader, "pad_global_to", None):
+            global_sizes = getattr(self.loader, "global_batch_sizes",
+                                   lambda: None)()
+
         def worker():
             try:
                 group = []
-                for imgs, labels in self.loader:
+                for bi, (imgs, labels) in enumerate(self.loader):
                     if stop.is_set():
                         return
-                    if self.pad_multiple \
+                    if global_sizes is not None:
+                        true_n = global_sizes[bi]
+                        if true_n % self.pad_multiple:
+                            if group:
+                                if not flush(group):
+                                    return
+                                group = []
+                            item = ((self._put(imgs, self.sharding),
+                                     true_n), labels)
+                            if not put(item):
+                                return
+                            continue
+                    elif self.pad_multiple \
                             and imgs.shape[0] % self.pad_multiple:
                         from disvae_tpu.parallel.mesh import pad_to_multiple
                         padded, true_n = pad_to_multiple(imgs,

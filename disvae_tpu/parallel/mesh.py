@@ -128,14 +128,6 @@ def make_sharded_multi_train_step(multi_fn, mesh, donate=True, state=None):
                    donate_argnums=(0,) if donate else ())
 
 
-def make_sharded_eval_step(eval_fn, mesh):
-    """Same layout for the (params, disc_params, batch) -> metrics step."""
-    rep = replicate(mesh)
-    bsh = batch_sharding(mesh)
-    return jax.jit(eval_fn, in_shardings=(rep, rep, bsh),
-                   out_shardings=rep)
-
-
 def tp_state_shardings(mesh, state):
     """Parameter shardings with the FactorVAE discriminator's 1000-unit
     hidden layers split over the 'model' axis (column-parallel weights).

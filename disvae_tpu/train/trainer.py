@@ -106,6 +106,7 @@ class Trainer:
             ("always" if resident else "never")
         self._resident = None
         self._resident_checked = False
+        self._warned_batch_pad = False
         self._resident_step = None
         self._gather = None
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
@@ -254,6 +255,11 @@ class Trainer:
             return n_batches
         n = len(getattr(data_loader, "dataset", []) or [])
         bs = getattr(data_loader, "batch_size", None)
+        if self.mesh is not None and bs \
+                and bs % int(self.mesh.shape["data"]):
+            # every batch routes through the mask-aware padded step
+            # (no superbatching) — see the warning in _train_epoch
+            return n_batches
         ragged = bool(bs and n and n % bs
                       and not getattr(data_loader, "drop_last", False))
         n_full = n_batches - (1 if ragged else 0)
@@ -379,7 +385,27 @@ class Trainer:
                 # size before the sharded device_put; the padded step keeps
                 # the loss exact at the true size (ops/losses.py masks)
                 pad_multiple = int(self.mesh.shape["data"])
-            multihost = jax.process_count() > 1
+                bs = getattr(data_loader, "batch_size", None)
+                if bs and bs % pad_multiple and not self._warned_batch_pad:
+                    self._warned_batch_pad = True
+                    self.logger.warning(
+                        "batch_size={} is not divisible by the data axis "
+                        "({}): EVERY step takes the padded masked path and "
+                        "K-step superbatching is disabled. Pick a batch "
+                        "size divisible by {} for full throughput."
+                        .format(bs, pad_multiple, pad_multiple))
+            # _force_multihost: test hook — exercises the multi-host feed
+            # branch in a single process (where local == global)
+            multihost = jax.process_count() > 1 \
+                or getattr(self, "_force_multihost", False)
+            if multihost and pad_multiple is not None \
+                    and getattr(data_loader, "host_slice", None) is not None \
+                    and getattr(data_loader, "pad_global_to", None) is None:
+                # SPMD feeding needs equal per-host shares of every global
+                # batch (see DataLoader.pad_global_to); set it here so
+                # library users who built the loader themselves get the
+                # correct multi-host contract too.
+                data_loader.pad_global_to = pad_multiple
             iterator = DevicePrefetcher(data_loader, sharding=sharding,
                                         superbatch_k=self.steps_per_dispatch,
                                         super_sharding=super_sharding,

@@ -266,12 +266,18 @@ def main(args):
         # global batch; the (seed, epoch)-keyed permutation is identical on
         # all hosts, so the union of slices is exactly the global batch.
         host_slice = None
+        pad_global_to = None
         if jax.process_count() > 1:
             host_slice = (jax.process_index(), jax.process_count())
+            if mesh is not None:
+                # equal per-host shares of every (globally padded) batch —
+                # see DataLoader.pad_global_to
+                pad_global_to = int(mesh.shape["data"])
         train_loader = get_dataloaders(args.dataset,
                                        batch_size=args.batch_size,
                                        logger=logger, seed=args.seed,
-                                       host_slice=host_slice)
+                                       host_slice=host_slice,
+                                       pad_global_to=pad_global_to)
         logger.info("Train {} with {} samples".format(
             args.dataset, len(train_loader.dataset)))
 
@@ -321,12 +327,22 @@ def main(args):
                             n_data=len(test_loader.dataset),
                             device=None,
                             **vars(args))
+        eval_mesh = mesh
+        if jax.process_count() > 1:
+            # The eval path device_puts host-local arrays against mesh-wide
+            # shardings, which is only valid when every mesh device is
+            # addressable from this process. On a multi-host pod each
+            # process evaluates on its local devices instead (the test
+            # loader is not host-sliced, so results are identical on every
+            # host).
+            logger.info("Multi-host run: evaluating on local devices.")
+            eval_mesh = None
         evaluator = Evaluator(model, params, loss_f,
                               rng=eval_key,
                               logger=logger,
                               save_dir=exp_dir,
                               is_progress_bar=not args.no_progress_bar,
-                              mesh=mesh,
+                              mesh=eval_mesh,
                               scramble_quirk=not args.corrected_mig)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)

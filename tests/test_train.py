@@ -456,6 +456,71 @@ def test_host_slice_union_is_global_permutation(tiny_dataset):
         np.testing.assert_array_equal(union, gb)
 
 
+def test_host_slice_padded_equal_shares(tiny_dataset):
+    """SPMD multi-host contract (DataLoader.pad_global_to): every host
+    yields the SAME number of equally-sized shares; their concatenation is
+    the global batch padded at the END to the data-axis multiple (pad rows
+    repeat the last row), so the mask-aware padded step's first-true_n-rows
+    mask stays correct."""
+    bs, m, pn = 28, 8, 2  # 96 = 28*3 + 12; 28 % 8 = 4, 12 % 8 = 4
+    full = DataLoader(tiny_dataset, batch_size=bs, shuffle=True, seed=7)
+    parts = [DataLoader(tiny_dataset, batch_size=bs, shuffle=True, seed=7,
+                        host_slice=(i, pn), pad_global_to=m)
+             for i in range(pn)]
+    global_batches = [b for b, _ in full]
+    part_batches = [[b for b, _ in p] for p in parts]
+    sizes = full.global_batch_sizes()
+    assert sizes == [28, 28, 28, 12]
+    assert len(part_batches[0]) == len(part_batches[1]) == len(global_batches)
+    for k, gb in enumerate(global_batches):
+        padded_n = -(-sizes[k] // m) * m
+        assert part_batches[0][k].shape == part_batches[1][k].shape
+        assert part_batches[0][k].shape[0] == padded_n // pn
+        union = np.concatenate([part_batches[0][k], part_batches[1][k]])
+        expect = np.concatenate(
+            [gb, np.repeat(gb[-1:], padded_n - sizes[k], axis=0)])
+        np.testing.assert_array_equal(union, expect)
+
+
+def test_host_slice_padded_trainer_equals_plain(tmp_path, tiny_dataset):
+    """Degenerate 1-process 'multi-host' feed (host_slice=(0,1) +
+    pad_global_to): the mesh Trainer must produce the same parameters and
+    logs as the plain mesh path — the loader pre-pads and the prefetcher
+    takes the global-true-size branch, so this gates that n_valid comes
+    from the GLOBAL batch structure, not the local share size."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    ds = ArrayDataset(tiny_dataset.imgs[:90])  # ragged tail of 26
+    cfg = L.BtcvaeLoss(n_data=90, alpha=1, beta=6, gamma=1, steps_anneal=20)
+
+    def run(save_dir, force_multihost=False, **loader_kw):
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0,
+                            **loader_kw)
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1), save_dir=str(save_dir),
+                          is_progress_bar=False, mesh=create_mesh(),
+                          resident="never")  # exercise the streaming feed
+        # the prefetcher's multihost branch is keyed on process_count; force
+        # it for the degenerate 1-process case (local == global there)
+        trainer._force_multihost = force_multihost
+        trainer(loader, epochs=2, checkpoint_every=100)
+        log = open(os.path.join(str(save_dir), "train_losses.log")).read()
+        return trainer.state, log
+
+    d1 = tmp_path / "plain"; d1.mkdir()
+    d2 = tmp_path / "hosted"; d2.mkdir()
+    state_a, log_a = run(d1)
+    state_b, log_b = run(d2, force_multihost=True,
+                         host_slice=(0, 1), pad_global_to=8)
+    assert log_a == log_b
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_mesh_trainer_resume_with_ragged(tmp_path, tiny_dataset):
     """Checkpoint/resume still works under the mesh, and the truncating
     LossesLogger leaves exactly one row set per epoch."""

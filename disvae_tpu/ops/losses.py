@@ -116,6 +116,16 @@ def _row_mask(batch_size, n_valid, ndim):
         shape)
 
 
+def _masked_mean(x, n_valid):
+    """Mean of a per-row vector over its first `n_valid` rows (full mean
+    when n_valid is None) — the one masked-mean idiom every padded-batch
+    loss path shares."""
+    if n_valid is None:
+        return jnp.mean(x)
+    mask = _row_mask(x.shape[0], n_valid, x.ndim).astype(x.dtype)
+    return jnp.sum(mask * x) / n_valid
+
+
 def reconstruction_loss(data, recon_data, distribution="bernoulli",
                         n_valid=None):
     """Per-image negative log likelihood, summed over pixels and averaged over
@@ -259,15 +269,9 @@ class BtcvaeLoss:
             latent_sample, latent_dist, self.n_data, is_mss=self.is_mss,
             n_valid=n_valid)
 
-        def batch_mean(x):
-            if n_valid is None:
-                return jnp.mean(x)
-            mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
-            return jnp.sum(mask * x) / n_valid
-
-        mi_loss = batch_mean(log_q_zCx - log_qz)        # I[z;x]
-        tc_loss = batch_mean(log_qz - log_prod_qzi)     # TC[z]
-        dw_kl_loss = batch_mean(log_prod_qzi - log_pz)  # dim-wise KL
+        mi_loss = _masked_mean(log_q_zCx - log_qz, n_valid)        # I[z;x]
+        tc_loss = _masked_mean(log_qz - log_prod_qzi, n_valid)     # TC[z]
+        dw_kl_loss = _masked_mean(log_prod_qzi - log_pz, n_valid)  # dwKL
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
         loss = rec_loss + (self.alpha * mi_loss
@@ -336,10 +340,7 @@ def softmax_cross_entropy(logits, labels, n_valid=None):
     `n_valid` restricts the mean to the first n_valid rows."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-    if n_valid is None:
-        return jnp.mean(nll)
-    mask = (jnp.arange(nll.shape[0]) < n_valid).astype(nll.dtype)
-    return jnp.sum(mask * nll) / n_valid
+    return _masked_mean(nll, n_valid)
 
 
 def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
@@ -387,11 +388,7 @@ def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
                                               disc_params)
     d_z_for_vae = disc.apply(disc_params_stop, z1)
     tc_diff = d_z_for_vae[:, 0] - d_z_for_vae[:, 1]
-    if n_valid_half is None:
-        tc_loss = jnp.mean(tc_diff)
-    else:
-        hmask = (jnp.arange(half_p) < half).astype(tc_diff.dtype)
-        tc_loss = jnp.sum(hmask * tc_diff) / half
+    tc_loss = _masked_mean(tc_diff, n_valid_half)
     anneal_reg = (linear_annealing(0, 1, step, loss_cfg.steps_anneal)
                   if is_train else 1.0)
     vae_loss = rec_loss + kl_loss + anneal_reg * loss_cfg.gamma * tc_loss

@@ -188,7 +188,7 @@ def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
 
 def make_resident_multi_train_step(model, loss_cfg, optimizer, disc=None,
                                    disc_optimizer=None, donate=True,
-                                   mesh=None):
+                                   mesh=None, state=None):
     """K-step super-step over an HBM-RESIDENT dataset:
     (state, data, idx) -> (state, metrics), data = the full wire-format
     dataset living on device, idx = (K, B) int32 batch indices.
@@ -226,10 +226,14 @@ def make_resident_multi_train_step(model, loss_cfg, optimizer, disc=None,
         return jax.lax.scan(body, state, idx)
 
     if mesh is not None:
-        from disvae_tpu.parallel.mesh import replicate
+        from disvae_tpu.parallel.mesh import _state_shardings, replicate
+        # TP-aware state shardings (matches the single/padded step builders
+        # — forcing replication here would reshard a column-parallel
+        # FactorVAE discriminator every epoch under --model-parallel > 1)
+        st = _state_shardings(mesh, state)
         rep = replicate(mesh)
-        return jax.jit(multi, in_shardings=(rep, rep, rep),
-                       out_shardings=(rep, rep),
+        return jax.jit(multi, in_shardings=(st, rep, rep),
+                       out_shardings=(st, rep),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

@@ -107,6 +107,12 @@ class Trainer:
         self._resident = None
         self._resident_checked = False
         self._warned_batch_pad = False
+        # Host-side mirror of state.step. The environment rule (CLAUDE.md)
+        # forbids fetching 0-d device scalars (they can hang the tunnel);
+        # epoch bookkeeping reads this mirror instead of int(state.step).
+        # Kept in sync by _reduce_epoch_metrics (one increment per executed
+        # step = per packed metrics row) and seeded host-side on resume.
+        self._host_step = 0
         self._resident_step = None
         self._gather = None
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
@@ -140,9 +146,12 @@ class Trainer:
     def save_checkpoint(self, epoch):
         import flax.serialization
 
+        # swap the 0-d device step scalar for its host mirror before the
+        # fetch (scalar transfers can hang the tunnel — CLAUDE.md)
+        st = self.state.replace(step=np.int32(self._host_step))
         payload = {"next_epoch": epoch + 1,
                    "state": flax.serialization.to_state_dict(
-                       jax.device_get(self.state))}
+                       jax.device_get(st))}
         path = os.path.join(self.save_dir, CKPT_FILE)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -161,6 +170,8 @@ class Trainer:
             payload = flax.serialization.msgpack_restore(f.read())
         self.state = flax.serialization.from_state_dict(self.state,
                                                         payload["state"])
+        # seed the host step mirror from the (host-side) msgpack payload
+        self._host_step = int(payload["state"]["step"])
         self._start_epoch = int(payload["next_epoch"])
         self.logger.info("Resuming from checkpoint at epoch {}."
                          .format(self._start_epoch))
@@ -222,7 +233,8 @@ class Trainer:
                 break
 
         for sig, h in old_handlers.items():
-            signal.signal(sig, h)
+            if h is not None:  # None = handler installed by non-Python code
+                signal.signal(sig, h)
 
         if self.gif_visualizer is not None:
             self.gif_visualizer.save_reset()
@@ -244,6 +256,20 @@ class Trainer:
                 disc_optimizer=self._disc_optimizer, mesh=self.mesh,
                 state=self.state)
         return self._padded_step
+
+    def _skip_tiny_factor_tail(self, true_n):
+        """FactorVAE consumes two half-batches per step (reference
+        losses.py:246-251); a ragged tail of ONE sample has an empty half —
+        the reference crashes on it, and the masked surrogate would 0/0 to
+        NaN and silently poison the run. Skip the sample instead (once per
+        run it is < 0.001% of an epoch), loudly."""
+        if int(true_n) >= 2 or not self.loss_f.needs_discriminator:
+            return False
+        self.logger.warning(
+            "Skipping a final batch of %d sample(s): FactorVAE needs two "
+            "half-batches per step. Pick a batch size with a tail of >= 2 "
+            "(dataset %% batch) to train on every sample.", int(true_n))
+        return True
 
     def _n_dispatches(self, data_loader):
         """Number of items the prefetch iterator will yield for one epoch:
@@ -295,7 +321,8 @@ class Trainer:
             from disvae_tpu.train.steps import make_resident_multi_train_step
             self._resident_step = make_resident_multi_train_step(
                 self.model, self.loss_f, self._optimizer, disc=self.disc,
-                disc_optimizer=self._disc_optimizer, mesh=self.mesh)
+                disc_optimizer=self._disc_optimizer, mesh=self.mesh,
+                state=self.state)
         return self._resident_step
 
     def _train_epoch_resident(self, data_loader, epoch):
@@ -305,7 +332,7 @@ class Trainer:
         the streaming path (same DataLoader.epoch_order)."""
         import jax.numpy as jnp
 
-        base_step = int(self.state.step)
+        base_step = self._host_step
         wire = self._resident.wire
         B = data_loader.batch_size
         order = data_loader.epoch_order()
@@ -323,6 +350,8 @@ class Trainer:
                 self.state, wire, idx)
             device_metrics.append(stack_metrics(metrics, self.metric_keys))
 
+        if rem and self._skip_tiny_factor_tail(rem):
+            rem = 0
         if rem:
             if self._gather is None:
                 if self.mesh is not None:
@@ -362,7 +391,7 @@ class Trainer:
         if self._use_resident(data_loader):
             return self._train_epoch_resident(data_loader, epoch)
 
-        base_step = int(self.state.step)
+        base_step = self._host_step
         device_metrics = []  # on-device (n_keys,) or (K, n_keys) rows
 
         sharding = super_sharding = None
@@ -420,6 +449,8 @@ class Trainer:
             for batch, _ in iterator:
                 if isinstance(batch, tuple):  # host-padded ragged batch
                     padded, true_n = batch
+                    if self._skip_tiny_factor_tail(true_n):
+                        continue
                     self.state, metrics = self._get_padded_step()(
                         self.state, padded, np.int32(true_n))
                     device_metrics.append(
@@ -432,6 +463,8 @@ class Trainer:
                 if is_super:
                     self.state, metrics = self._multi_step(self.state, batch)
                 else:
+                    if self._skip_tiny_factor_tail(batch.shape[0]):
+                        continue
                     self.state, metrics = self._train_step(self.state, batch)
                 device_metrics.append(
                     stack_metrics(metrics, self.metric_keys))
@@ -452,6 +485,8 @@ class Trainer:
             return float("nan"), {}
         all_metrics = np.asarray(jnp.concatenate(
             [m if m.ndim == 2 else m[None] for m in device_metrics], axis=0))
+        # one metrics row per executed step: advance the host step mirror
+        self._host_step = base_step + all_metrics.shape[0]
         steps = base_step + 1 + np.arange(all_metrics.shape[0])
         recorded = (steps % RECORD_LOSS_EVERY) == 1
         loss_idx = self.metric_keys.index("loss")

@@ -456,6 +456,31 @@ def test_host_slice_union_is_global_permutation(tiny_dataset):
         np.testing.assert_array_equal(union, gb)
 
 
+def test_factor_tail_of_one_is_skipped_not_nan(tmp_path, tiny_dataset):
+    """FactorVAE with a ragged tail of exactly 1 sample: the two-half split
+    has an empty half (reference losses.py:246-251 would crash; the masked
+    surrogate would 0/0 to NaN). The Trainer must skip the sample with a
+    warning and keep params finite — on both the plain and the mesh path."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    ds = ArrayDataset(tiny_dataset.imgs[:65])  # 65 = 2*32 + 1
+    cfg = L.FactorKLoss(latent_dim=10, gamma=6.0, steps_anneal=0)
+    for mesh in (None, create_mesh()):
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1),
+                          save_dir=str(tmp_path / str(mesh is None)),
+                          is_progress_bar=False, mesh=mesh,
+                          resident="never")
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+        trainer(loader, epochs=1, checkpoint_every=100)
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert trainer._host_step == 2  # tail skipped: 2 full steps only
+
+
 def test_host_slice_padded_equal_shares(tiny_dataset):
     """SPMD multi-host contract (DataLoader.pad_global_to): every host
     yields the SAME number of equally-sized shares; their concatenation is

@@ -124,6 +124,15 @@ class DataLoader:
                 raise ValueError(
                     "pad_global_to={} must be divisible by process_count={}"
                     .format(pad_global_to, host_slice[1]))
+        if host_slice is not None and host_slice[1] > 1 and shuffle \
+                and seed is None:
+            # every host draws the permutation independently; without a
+            # shared seed the slices come from DIFFERENT permutations and
+            # the assembled global batches silently duplicate/drop samples
+            raise ValueError(
+                "host_slice feeding with shuffle=True requires a seed: the "
+                "(seed, epoch)-keyed permutation must be identical on every "
+                "host.")
         self._epoch = 0
 
     def __len__(self):
@@ -389,7 +398,11 @@ class MNIST(BaseDataset):
                 self.urls["labels"], logger)
             labels = _load_idx(labels_path).astype(np.int32)
             os.makedirs(root, exist_ok=True)
-            np.savez_compressed(cache, imgs=imgs, labels=labels)
+            # atomic like every other cache here: a build killed mid-write
+            # must not leave a truncated npz the next run trusts
+            tmp = cache + ".tmp.npz"
+            np.savez_compressed(tmp, imgs=imgs, labels=labels)
+            os.replace(tmp, cache)
             if logger:
                 logger.info("Cached {} ({} images)".format(cache, len(imgs)))
 

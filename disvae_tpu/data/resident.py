@@ -69,16 +69,34 @@ class ResidentData:
             from disvae_tpu.parallel.mesh import replicate
             sharding = replicate(mesh)
         rows_per_chunk = max(1, self.CHUNK_BYTES // max(1, host[0].nbytes))
-        parts = []
+        # Preallocate-and-fill with a DONATED per-chunk update. The previous
+        # device_put-all-chunks + jnp.concatenate transiently held ~2x the
+        # wire bytes in HBM (all chunks + the concatenated copy); here the
+        # peak is the final array + one in-flight chunk.
+        from jax import lax
+
+        def _upd(a, c, i):
+            return lax.dynamic_update_slice_in_dim(a, c, i, axis=0)
+
+        if sharding is not None:
+            wire = jax.jit(lambda: jnp.zeros(host.shape, jnp.uint8),
+                           out_shardings=sharding)()
+            upd = jax.jit(_upd, donate_argnums=(0,),
+                          out_shardings=sharding)
+        else:
+            wire = jax.jit(lambda: jnp.zeros(host.shape, jnp.uint8))()
+            upd = jax.jit(_upd, donate_argnums=(0,))
+        n_chunks = 0
         for i in range(0, n, rows_per_chunk):
             piece = np.ascontiguousarray(host[i:i + rows_per_chunk])
-            parts.append(jax.device_put(piece, sharding)
-                         if sharding is not None else jax.device_put(piece))
-        self.wire = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
-                                                                     axis=0)
+            dev = jax.device_put(piece, sharding) if sharding is not None \
+                else jax.device_put(piece)
+            wire = upd(wire, dev, jnp.int32(i))
+            n_chunks += 1
+        self.wire = wire
         self.n = n
         logger.info("Resident dataset: %d images, %.0f MB wire in HBM "
-                    "(%d-chunk upload).", n, host.nbytes / 1e6, len(parts))
+                    "(%d-chunk upload).", n, host.nbytes / 1e6, n_chunks)
 
     @classmethod
     def maybe(cls, dataset, mesh=None, limit_bytes=DEFAULT_LIMIT_BYTES):

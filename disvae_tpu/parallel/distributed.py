@@ -14,7 +14,16 @@ Typical use at the top of a training script:
     m = mesh.create_mesh()              # all global devices
     ... Trainer(..., mesh=m)
 
-Each host feeds its local shard of the batch (`local_batch_slice`).
+Each host feeds only its share of every global batch. The ACTUAL feeding
+contract lives in the data pipeline, not here:
+`DataLoader(host_slice=(process_index, process_count),
+pad_global_to=<data-axis size>)` pads each global batch's index list to the
+data-axis multiple and splits it into equal contiguous per-host shares
+(identical (seed, epoch)-keyed permutation on every host, pad rows at the
+global end, true sizes from `global_batch_sizes()`); `main.py` wires this
+automatically when `jax.process_count() > 1`. `local_batch_slice` below is
+a simpler divisible-batch helper kept for library callers that manage
+their own feeding; it does NOT handle ragged batches.
 """
 
 import logging

@@ -46,6 +46,9 @@ class ServingModel:
         self.params = jax.device_put(params)
         self._encode = jax.jit(lambda p, x: model.encode(p, x))
         self._decode = jax.jit(lambda p, z: model.decode(p, z))
+        # fused mean-reconstruction: one program, no host round-trip of mu
+        self._reconstruct = jax.jit(
+            lambda p, x: model.decode(p, model.encode(p, x)[0]))
 
     @classmethod
     def from_dir(cls, directory):
@@ -73,8 +76,11 @@ class ServingModel:
                                   np.asarray(latents, np.float32))
 
     def reconstruct(self, images):
-        mu, _ = self.encode(images)
-        return self.decode(mu)
+        """Mean (eval-mode) reconstruction: decode(encode(x).mu), fused in
+        one compiled call — two separate dispatches would round-trip the
+        latents through the host on every request."""
+        return self._run_bucketed(self._reconstruct,
+                                  np.asarray(images, np.float32))
 
     def sample(self, n, seed=0):
         """Decode n prior draws."""

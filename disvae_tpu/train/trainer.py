@@ -433,7 +433,16 @@ class Trainer:
                 # SPMD feeding needs equal per-host shares of every global
                 # batch (see DataLoader.pad_global_to); set it here so
                 # library users who built the loader themselves get the
-                # correct multi-host contract too.
+                # correct multi-host contract too. Re-apply the
+                # constructor's divisibility check — a data axis smaller
+                # than process_count (e.g. heavy --model-parallel) cannot
+                # split into equal host shares and would silently drop rows.
+                pn = data_loader.host_slice[1]
+                if pad_multiple % pn:
+                    raise ValueError(
+                        "data axis ({}) must be divisible by process_count "
+                        "({}) for multi-host feeding; lower --model-parallel"
+                        .format(pad_multiple, pn))
                 data_loader.pad_global_to = pad_multiple
             iterator = DevicePrefetcher(data_loader, sharding=sharding,
                                         superbatch_k=self.steps_per_dispatch,

@@ -118,7 +118,9 @@ def load_checkpoints(directory):
     checkpoints = []
     for root, _, filenames in os.walk(directory):
         for filename in filenames:
-            m = re.search(r".*?-([0-9].*?)\.(npz|pt)$", filename)
+            # digits-only anchor: must not match leftover atomic-write temp
+            # files like model-5.npz.tmp.npz (crash-recovery debris)
+            m = re.search(r"-(\d+)\.(npz|pt)$", filename)
             if m is not None:
                 epoch_idx = int(m.group(1))
                 checkpoints.append((epoch_idx, load_model(root,

@@ -19,8 +19,10 @@ def get_samples(dataset, num_samples, idcs=None):
     """Fixed indices first, random fill after (reference viz_helpers.py:16-38).
     Returns float32 (N, H, W, C)."""
     from disvae_tpu.data.datasets import get_dataset
-    idcs = list(idcs) if idcs else []
+    idcs = list(idcs) if idcs is not None else []  # `if idcs` breaks on arrays
     ds = dataset if not isinstance(dataset, str) else get_dataset(dataset)()
+    if len(idcs) > num_samples:
+        idcs = idcs[:num_samples]
     idcs += random.sample(range(len(ds)), num_samples - len(idcs))
     samples, _ = ds.get_batch(np.asarray(idcs))
     print("Selected idcs: {}".format(idcs))

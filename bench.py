@@ -1,13 +1,18 @@
 """Headline benchmark: btcvae_celeba b256 END-TO-END training throughput on
 one chip. Prints ONE JSON line.
 
-End-to-end means the production input path, not resident device data: the
-celeba-shaped uint8 memmap on disk -> per-epoch shuffled gather (native C++
-batch assembly, disvae_tpu/native) -> uint8 wire format -> prefetch thread ->
-host->device transfer -> K-step lax.scan super-step with flattened Adam and
-on-device decompress. A resident-data device-only figure is reported
-alongside as `device_only_ips` (it bounds the compute path; the gap between
-the two is the input pipeline).
+End-to-end means the CLI's production path exactly as `main.py` runs it:
+the default HBM-RESIDENT feed (`--resident-data auto`) — the uint8 wire
+dataset is uploaded once at startup, then every timed epoch ships its
+shuffled permutation and gathers batches on device, through the real
+Trainer epoch loop (K-step lax.scan super-step, flattened Adam, on-device
+decompress, per-epoch metrics fetch). `device_only_ips` bounds the compute
+path (no epoch machinery at all); the gap between the two is the resident
+feed's overhead. The STREAMING pipeline (disk memmap -> native C++ gather
+-> uint8 wire -> prefetch thread -> host->device transfer every batch) is
+what datasets too big for HBM would use; it is wire-bound on this host's
+tunnel and measured separately under BENCH_STREAMING=1 as
+`streaming_pipeline_ips` (~7.45k img/s).
 
 Sync discipline: on this platform `jax.block_until_ready` can return before
 results are fetchable, so both measurements end with an actual device->host

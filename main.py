@@ -60,7 +60,8 @@ def parse_arguments(args_to_parse):
                               'JAX platform driven.')
     general.add_argument('-s', '--seed', type=int,
                          default=default_config['seed'],
-                         help='Base PRNG seed; pass `None` to draw one from the clock.')
+                         help='Base PRNG seed; set `seed = None` in '
+                              'hyperparam.ini to draw one from the clock.')
     general.add_argument('--precision', default="highest",
                          choices=PRECISIONS,
                          help='Matmul/conv precision on TPU: highest for '
@@ -268,11 +269,17 @@ def main(args):
         host_slice = None
         pad_global_to = None
         if jax.process_count() > 1:
+            if mesh is None:
+                # without a mesh there are no collectives: each process
+                # would silently train its OWN model on 1/N of the data
+                raise ValueError(
+                    "--no-mesh is not valid on a multi-host run: host-"
+                    "sliced feeding only makes sense as the SPMD feed of "
+                    "a device mesh.")
             host_slice = (jax.process_index(), jax.process_count())
-            if mesh is not None:
-                # equal per-host shares of every (globally padded) batch —
-                # see DataLoader.pad_global_to
-                pad_global_to = int(mesh.shape["data"])
+            # equal per-host shares of every (globally padded) batch —
+            # see DataLoader.pad_global_to
+            pad_global_to = int(mesh.shape["data"])
         train_loader = get_dataloaders(args.dataset,
                                        batch_size=args.batch_size,
                                        logger=logger, seed=args.seed,

@@ -47,6 +47,17 @@ _COMP_CHUNK = 2048
 _SAMPLE_CHUNK = 2000
 
 
+def _seed_from_key(key):
+    """Deterministic 31-bit numpy seed from a jax PRNG key (typed key or raw
+    uint32 array). Host-side only: key data is a >=1-d array, so the fetch is
+    safe on the axon tunnel (0-d scalar fetches can hang — CLAUDE.md)."""
+    try:
+        data = np.asarray(jax.random.key_data(key))
+    except (TypeError, ValueError):
+        data = np.asarray(key)
+    return int(data.ravel()[-1]) & 0x7FFFFFFF
+
+
 class Evaluator:
     """Evaluate a trained (model, params) pair under a loss config."""
 
@@ -57,7 +68,8 @@ class Evaluator:
                  save_dir="results",
                  is_progress_bar=True,
                  mesh=None,
-                 scramble_quirk=True):
+                 scramble_quirk=True,
+                 metrics_seed=None):
         self.model = model
         # Parity mode (default) reproduces the reference's (S, D) -> (D, S)
         # row-major reshape of the entropy samples (evaluate.py:270), which
@@ -70,6 +82,15 @@ class Evaluator:
         self.logger = logger
         self.save_dir = save_dir
         self.is_progress_bar = is_progress_bar
+        # Explicit RNG for the entropy-estimate sample draws: MIG must be
+        # reproducible for LIBRARY callers too, not only when main.py
+        # happened to call set_seed earlier in the process (the reference
+        # leans on ambient torch/np global state, evaluate.py:268). Seeded
+        # from `metrics_seed` when given, else derived host-side from the
+        # jax key (key_data is a >=1-d fetch — never a 0-d scalar).
+        if metrics_seed is None:
+            metrics_seed = _seed_from_key(rng) if rng is not None else 0
+        self._np_rng = np.random.RandomState(metrics_seed)
 
         disc = None
         if loss_f.needs_discriminator:
@@ -183,6 +204,7 @@ class Evaluator:
                 "{}".format(type(dataloader.dataset).__name__))
 
         self.logger.info("Computing the empirical distribution q(z|x).")
+        t0 = default_timer()
         raw_before = getattr(dataloader, "raw", None)
         try:
             if raw_before is not None and hasattr(dataloader.dataset,
@@ -192,15 +214,27 @@ class Evaluator:
                 # decompresses on device
                 dataloader.raw = True
             samples_zCx, params_zCx = self._compute_q_zCx(dataloader)
+            # the encode dispatches async; a 1-element device fetch is the
+            # sync barrier (block_until_ready is unreliable on axon)
+            np.asarray(samples_zCx[:1])
         finally:
             if raw_before is not None:
                 dataloader.raw = raw_before
+        t_encode = default_timer() - t0
 
         self.logger.info("Estimating the marginal entropy.")
+        t1 = default_timer()
         H_z = self._estimate_latent_entropies(samples_zCx, params_zCx)
 
         H_zCv = self._estimate_H_zCv(samples_zCx, params_zCx, lat_sizes,
                                      lat_names)
+        t_entropy = default_timer() - t1
+        # phase wall-clocks for observability / bench.py's BASELINE-mandated
+        # mig_eval_seconds metric (entropy values are host numpy by here, so
+        # both phases are fetch-synced)
+        self.last_metrics_timings = {"encode_seconds": t_encode,
+                                     "entropy_seconds": t_entropy,
+                                     "total_seconds": default_timer() - t0}
 
         H_z = np.asarray(H_z)
         H_zCv = np.asarray(H_zCv)
@@ -295,7 +329,7 @@ class Evaluator:
         # sample S values from the aggregate posterior (host permutation
         # stands in for torch.randperm; the estimator is MC so only the
         # distribution matters)
-        idx = np.random.permutation(M)[:S]
+        idx = self._np_rng.permutation(M)[:S]
         selected = jnp.take(samples_zCx, jnp.asarray(idx), axis=0)
         if self.scramble_quirk:
             # reference's .view(latent_dim, n_samples) — row-major reshape,
@@ -348,7 +382,7 @@ class Evaluator:
         chunk. Returns (L, D) entropies."""
         L, M, D = samples_zCx.shape
         S = min(n_samples, M)
-        idx = np.stack([np.random.permutation(M)[:S] for _ in range(L)])
+        idx = np.stack([self._np_rng.permutation(M)[:S] for _ in range(L)])
         selected = jnp.take_along_axis(samples_zCx,
                                        jnp.asarray(idx)[:, :, None], axis=1)
         if self.scramble_quirk:

@@ -65,10 +65,14 @@ def make_padded_train_step(model, loss_cfg, optimizer, disc=None,
     host-padded so its leading dim divides the mesh's data axis and the
     traced scalar `n_valid` is the true (pre-pad) batch size. Every
     batch-size-dependent quantity — reconstruction/KL means, the MSS
-    importance weights, FactorVAE's half split — is computed at `n_valid`,
-    so the result is bit-comparable to the unpadded step (see
-    ops/losses.py masked paths). Compiled once per padded shape; only the
-    final batch of an epoch ever uses it."""
+    importance weights, FactorVAE's half split — is computed at `n_valid`
+    (see ops/losses.py masked paths). For the non-adversarial losses the
+    result matches the unpadded step exactly; for FactorVAE it matches in
+    DISTRIBUTION only — the masked permute_dims draws a different
+    permutation realization, so discrim_loss and the discriminator grads
+    differ while the VAE-side loss terms still agree (this is why
+    test_padded_step_matches_unpadded excludes discrim_loss). Compiled once
+    per padded shape; only the final batch of an epoch ever uses it."""
     if loss_cfg.needs_discriminator:
         assert disc is not None and disc_optimizer is not None
         step_fn = partial(_factor_train_step, model, loss_cfg, optimizer,

@@ -38,8 +38,15 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
 
     With no arguments this auto-detects from the TPU environment variables
     (the normal path on Cloud TPU pods). On a single host it is a no-op, so
-    scripts can call it unconditionally.
+    scripts can call it unconditionally. Idempotent: if the runtime is
+    already initialized (e.g. a launcher called jax.distributed.initialize
+    itself, as tools/multihost_run.py does), this detects it and returns.
     """
+    if jax.process_count() > 1:
+        logger.info("distributed runtime already initialized: "
+                    "process %d/%d", jax.process_index(),
+                    jax.process_count())
+        return True
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()
@@ -54,6 +61,28 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
                 jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())
     return jax.process_count() > 1
+
+
+def barrier(name):
+    """Block until every process reaches this point (no-op single-process).
+    Used to order host-side filesystem effects across ranks — e.g. rank 0
+    archives/creates the results dir before other ranks touch it, and no
+    rank exits while another still has collective work in flight."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def is_writer():
+    """True on the single rank (process 0) that owns all artifact writes.
+
+    On a multi-host run every rank computes the same replicated state, so
+    rank 0 alone writes `results/<name>/` — concurrent writers would race
+    on the same files whenever the results dir lives on a shared
+    filesystem. NOTE the flip side: `--resume` on multi-host requires that
+    shared filesystem, since every rank reads the checkpoint rank 0 wrote.
+    """
+    return jax.process_index() == 0
 
 
 def local_batch_slice(global_batch_size):

@@ -32,6 +32,8 @@ from disvae_tpu.utils.modelIO import save_model
 TRAIN_LOSSES_LOGFILE = "train_losses.log"
 CKPT_FILE = "train_state.msgpack"
 
+_NO_DATASET = object()  # sentinel distinct from any dataset (incl. None)
+
 
 class Trainer:
     """Drives training of a (model, params) pair under a loss config.
@@ -105,7 +107,7 @@ class Trainer:
         self.resident_policy = resident if isinstance(resident, str) else \
             ("always" if resident else "never")
         self._resident = None
-        self._resident_checked = False
+        self._resident_ds = _NO_DATASET  # identity key of the cached feed
         self._warned_batch_pad = False
         # Host-side mirror of state.step. The environment rule (CLAUDE.md)
         # forbids fetching 0-d device scalars (they can hang the tunnel);
@@ -118,13 +120,21 @@ class Trainer:
         self.metric_keys = metric_key_order(loss_f.name, model.latent_dim)
         if resume:
             self.load_checkpoint()
+        # Artifact writes belong to rank 0 alone on a multi-host run (every
+        # rank holds the same replicated state; concurrent writers would
+        # race on a shared results dir). All ranks still READ the
+        # checkpoint on --resume — multi-host resume assumes a shared fs.
+        from disvae_tpu.parallel.distributed import is_writer
+        self._is_writer = is_writer()
         # The log is truncated to rows strictly before the resume epoch: after
         # a hard kill (no SIGTERM checkpoint) the CSV may already hold rows
         # for epochs that will be re-run, and --resume with no checkpoint
         # must start a fresh log rather than append to a stale one.
-        self.losses_logger = LossesLogger(
-            os.path.join(save_dir, TRAIN_LOSSES_LOGFILE),
-            resume_from_epoch=self._start_epoch if resume else None)
+        self.losses_logger = None
+        if self._is_writer:
+            self.losses_logger = LossesLogger(
+                os.path.join(save_dir, TRAIN_LOSSES_LOGFILE),
+                resume_from_epoch=self._start_epoch if resume else None)
         self.logger.info("Training Device: {}".format(
             jax.devices()[0].platform))
 
@@ -146,6 +156,8 @@ class Trainer:
     def save_checkpoint(self, epoch):
         import flax.serialization
 
+        if not self._is_writer:
+            return
         # swap the 0-d device step scalar for its host mirror before the
         # fetch (scalar transfers can hang the tunnel — CLAUDE.md)
         st = self.state.replace(step=np.int32(self._host_step))
@@ -215,14 +227,16 @@ class Trainer:
                 "({:.0f} images/sec)".format(
                     epoch + 1, mean_epoch_loss,
                     len(data_loader.dataset) / max(epoch_dt, 1e-9)))
-            self.losses_logger.log(epoch, storer)
+            if self.losses_logger is not None:
+                self.losses_logger.log(epoch, storer)
 
             if self.gif_visualizer is not None:
                 self.gif_visualizer(self.state.params)
 
             if epoch % checkpoint_every == 0:
-                save_model(self.model, self.state.params, self.save_dir,
-                           filename="model-{}.npz".format(epoch))
+                if self._is_writer:
+                    save_model(self.model, self.state.params, self.save_dir,
+                               filename="model-{}.npz".format(epoch))
                 self.save_checkpoint(epoch)
 
             if stop["flag"]:
@@ -233,8 +247,10 @@ class Trainer:
                 break
 
         for sig, h in old_handlers.items():
-            if h is not None:  # None = handler installed by non-Python code
-                signal.signal(sig, h)
+            # None = handler installed by non-Python code; restore the OS
+            # default rather than leaving _request_stop (and its dead stop
+            # flag) installed for the rest of an embedding process.
+            signal.signal(sig, h if h is not None else signal.SIG_DFL)
 
         if self.gif_visualizer is not None:
             self.gif_visualizer.save_reset()
@@ -257,19 +273,37 @@ class Trainer:
                 state=self.state)
         return self._padded_step
 
-    def _skip_tiny_factor_tail(self, true_n):
-        """FactorVAE consumes two half-batches per step (reference
-        losses.py:246-251); a ragged tail of ONE sample has an empty half —
-        the reference crashes on it, and the masked surrogate would 0/0 to
-        NaN and silently poison the run. Skip the sample instead (once per
-        run it is < 0.001% of an epoch), loudly."""
-        if int(true_n) >= 2 or not self.loss_f.needs_discriminator:
+    def _skip_tiny_tail(self, true_n):
+        """Skip a ragged final batch of ONE sample for the losses whose math
+        is undefined there, loudly (once per run it is < 0.001% of an epoch):
+
+        * FactorVAE consumes two half-batches per step (reference
+          losses.py:246-251); a tail of one has an empty half — the reference
+          crashes on it, and the masked surrogate would 0/0 to NaN and
+          silently poison the run.
+        * btcvae with MSS: the importance weights use M = batch_size - 1
+          (reference math.py:54-73), so a batch of one divides by zero — the
+          reference raises on it, and the masked path
+          (ops/math.py:log_importance_weight_matrix_masked) would otherwise
+          produce finite non-parity values.
+        """
+        if int(true_n) >= 2:
             return False
-        self.logger.warning(
-            "Skipping a final batch of %d sample(s): FactorVAE needs two "
-            "half-batches per step. Pick a batch size with a tail of >= 2 "
-            "(dataset %% batch) to train on every sample.", int(true_n))
-        return True
+        if self.loss_f.needs_discriminator:
+            self.logger.warning(
+                "Skipping a final batch of %d sample(s): FactorVAE needs two "
+                "half-batches per step. Pick a batch size with a tail of >= 2 "
+                "(dataset %% batch) to train on every sample.", int(true_n))
+            return True
+        if self.loss_f.name == "btcvae" and getattr(self.loss_f, "is_mss",
+                                                    False):
+            self.logger.warning(
+                "Skipping a final batch of 1 sample: btcvae MSS importance "
+                "weights are undefined for a single sample (M = B-1 = 0; the "
+                "reference errors on it). Pick a batch size with a tail of "
+                ">= 2 (dataset %% batch) to train on every sample.")
+            return True
+        return False
 
     def _n_dispatches(self, data_loader):
         """Number of items the prefetch iterator will yield for one epoch:
@@ -298,15 +332,20 @@ class Trainer:
     def _use_resident(self, data_loader):
         if self.resident_policy == "never":
             return False
-        if not self._resident_checked:
-            self._resident_checked = True
+        ds = getattr(data_loader, "dataset", None)
+        if ds is not self._resident_ds:
+            # (re)build for THIS dataset: the cached feed is keyed on the
+            # dataset's identity, so a Trainer later driven with a different
+            # loader never gathers the new epoch's indices out of the OLD
+            # wire array (jnp.take would clip silently).
+            self._resident_ds = ds
+            self._resident = None
             if jax.process_count() > 1:  # replication needs one process
                 return False
             from disvae_tpu.data.resident import (DEFAULT_LIMIT_BYTES,
                                                   ResidentData)
             limit = (float("inf") if self.resident_policy == "always"
                      else DEFAULT_LIMIT_BYTES)
-            ds = getattr(data_loader, "dataset", None)
             if ds is not None:
                 self._resident = ResidentData.maybe(ds, mesh=self.mesh,
                                                     limit_bytes=limit)
@@ -350,7 +389,7 @@ class Trainer:
                 self.state, wire, idx)
             device_metrics.append(stack_metrics(metrics, self.metric_keys))
 
-        if rem and self._skip_tiny_factor_tail(rem):
+        if rem and self._skip_tiny_tail(rem):
             rem = 0
         if rem:
             if self._gather is None:
@@ -458,7 +497,7 @@ class Trainer:
             for batch, _ in iterator:
                 if isinstance(batch, tuple):  # host-padded ragged batch
                     padded, true_n = batch
-                    if self._skip_tiny_factor_tail(true_n):
+                    if self._skip_tiny_tail(true_n):
                         continue
                     self.state, metrics = self._get_padded_step()(
                         self.state, padded, np.int32(true_n))
@@ -472,7 +511,7 @@ class Trainer:
                 if is_super:
                     self.state, metrics = self._multi_step(self.state, batch)
                 else:
-                    if self._skip_tiny_factor_tail(batch.shape[0]):
+                    if self._skip_tiny_tail(batch.shape[0]):
                         continue
                     self.state, metrics = self._train_step(self.state, batch)
                 device_metrics.append(

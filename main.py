@@ -220,6 +220,15 @@ def main(args):
     logger.addHandler(stream)
 
     configure(args.precision)
+    if args.precision == "highest" and not args.is_eval_only:
+        # Out-of-the-box default favors reference parity; make the 4.3x
+        # production-throughput cliff visible instead of silent
+        # (benchmarks/scaling.py: 59k vs 270k img/s at b256 on v5e).
+        logger.info(
+            "Training at --precision highest (f32-equivalent matmuls, the "
+            "parity default). For production throughput on TPU use "
+            "`--precision default` (bf16 MXU passes over f32 data, ~4.3x "
+            "faster at this model size; see README scaling table).")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -229,6 +238,7 @@ def main(args):
     # has no distributed story at all (its main.py:183 picks a single
     # cuda-or-cpu device); here the same CLI drives the whole slice.
     from disvae_tpu.parallel import distributed
+    from disvae_tpu.parallel.distributed import barrier, is_writer
     from disvae_tpu.parallel.mesh import create_mesh
     distributed.initialize()
     mesh = None
@@ -251,10 +261,14 @@ def main(args):
                 .format(exp_dir))
 
     if not args.is_eval_only:
-        if not args.resume:
-            create_safe_directory(exp_dir, logger=logger)
-        else:
-            os.makedirs(exp_dir, exist_ok=True)
+        # Rank 0 owns the results dir (archive-then-create must happen once,
+        # not once per host); other ranks wait for it to exist.
+        if is_writer():
+            if not args.resume:
+                create_safe_directory(exp_dir, logger=logger)
+            else:
+                os.makedirs(exp_dir, exist_ok=True)
+        barrier("disvae:results-dir")
 
         if args.loss == "factor":
             logger.info("FactorVAE consumes two half-batches per iteration; "
@@ -293,7 +307,17 @@ def main(args):
                                             args.latent_dim, key=init_key)
         logger.info('Num parameters in model: {}'.format(get_n_param(params)))
 
-        gif_visualizer = GifTraversalsTraining(model, args.dataset, exp_dir)
+        # Rank 0 renders the training gif. On multi-host its params arrive
+        # committed to the GLOBAL mesh; running the viz jits on them would
+        # schedule mesh-wide programs the other ranks never execute (hang),
+        # so the wrapper detours each frame's params through the host onto
+        # a local device (~500K params — negligible).
+        gif_visualizer = None
+        if is_writer():
+            gif_visualizer = GifTraversalsTraining(model, args.dataset,
+                                                   exp_dir)
+            if jax.process_count() > 1:
+                gif_visualizer = _LocalDeviceGif(gif_visualizer)
         loss_f = get_loss_f(args.loss,
                             n_data=len(train_loader.dataset),
                             device=None,
@@ -320,10 +344,17 @@ def main(args):
                     checkpoint_every=args.checkpoint_every)
 
         # save the final model plus the full resolved config
-        save_model(trainer.model, trainer.params, exp_dir,
-                   metadata=vars(args))
+        if is_writer():
+            save_model(trainer.model, trainer.params, exp_dir,
+                       metadata=vars(args))
 
-    if args.is_metrics or not args.no_test:
+    if (args.is_metrics or not args.no_test) and not is_writer():
+        # Rank 0 evaluates alone: the eval path runs on local devices with
+        # an un-sliced loader, so every rank would redundantly recompute
+        # the SAME numbers and race writing the same artifact files.
+        logger.info("Multi-host run: rank %d skips evaluation "
+                    "(rank 0 computes and writes it).", jax.process_index())
+    elif args.is_metrics or not args.no_test:
         model, params = load_model(exp_dir)
         metadata = load_metadata(exp_dir)
         test_loader = get_dataloaders(metadata["dataset"],
@@ -353,6 +384,25 @@ def main(args):
                               scramble_quirk=not args.corrected_mig)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)
+
+    # no rank exits while another still has collective work in flight
+    barrier("disvae:end")
+
+
+class _LocalDeviceGif:
+    """Multi-host adapter for GifTraversalsTraining: re-homes each frame's
+    (fully replicated) params from the global mesh onto one local device so
+    the viz jits compile as purely local programs."""
+
+    def __init__(self, base):
+        self._base = base
+        self._device = jax.local_devices()[0]
+
+    def __call__(self, params):
+        self._base(jax.device_put(jax.device_get(params), self._device))
+
+    def save_reset(self):
+        self._base.save_reset()
 
 
 if __name__ == '__main__':

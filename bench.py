@@ -26,6 +26,12 @@ CLI). The CLI's out-of-the-box parity policy (`--precision highest`,
 and is reported as `parity_policy_ips` (~4.3x slower at b256). Numeric
 parity gates in tests run at highest.
 
+Secondary metric: the MIG/AAM evaluation wall-clock (BASELINE.md "MIG eval
+wall-clock — tracked metric"), measured by benchmarks/mig_bench.py in a
+separate process launched BEFORE this one initializes the TPU (the chip is
+single-tenant and one numeric policy / program family per process is the
+tunnel rule). Disable with BENCH_METRICS=0.
+
 Baseline anchoring (BASELINE.md): the reference publishes no throughput
 number. `vs_baseline` uses the MEASURED anchor — the torch reference running
 btcvae_celeba b256 on this host's CPU: 367.9 img/s (5-step mean after
@@ -59,8 +65,11 @@ REF_GPU_EST_IPS = 3000.0  # documented V100-class estimate (no GPU here)
 # Measured by benchmarks/scaling.py on this chip (b256, --precision highest,
 # 6-pass f32-equivalent). Reported as a constant because running a second
 # precision policy in the same process has hung the axon tunnel; see the
-# README scaling table for the full policy x batch grid.
+# README scaling table for the full policy x batch grid. The provenance
+# stamp rides along in the JSON so the constant can't silently rot.
 PARITY_POLICY_IPS = 59245.0
+PARITY_POLICY_PROVENANCE = ("measured 2026-08-16 by benchmarks/scaling.py "
+                            "(b256, --precision highest, separate process)")
 BATCH = 256
 K = 16           # steps per dispatch (lax.scan super-step)
 SUPERSTEPS = 20  # device-only timed supersteps -> 320 train steps
@@ -195,7 +204,41 @@ def bench_device_only(policy="default"):
     return BATCH * K * SUPERSTEPS / dt
 
 
+def bench_mig_eval():
+    """MIG/AAM eval wall-clock (BASELINE.md tracked metric), measured by
+    benchmarks/mig_bench.py in a SEPARATE process — it must run before this
+    process touches the TPU (one numeric policy / program family per
+    process; the device is exclusive) and it compiles its own program
+    family. Returns the parsed dict, or None (with a reason) on failure —
+    the headline bench must not die on the secondary metric."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "mig_bench.py")
+    try:
+        out = subprocess.run([sys.executable, script], timeout=1800,
+                             capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if out.returncode != 0:
+        return None, (out.stderr or out.stdout)[-300:].replace("\n", " | ")
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line), None
+    return None, "no JSON line in output"
+
+
 def main():
+    mig = mig_err = None
+    if os.environ.get("BENCH_METRICS", "1") != "0":
+        _progress("MIG-eval wall-clock bench (subprocess, runs first "
+                  "because the chip is single-tenant)...")
+        mig, mig_err = bench_mig_eval()
+        if mig is not None:
+            _progress("MIG eval: {}s end-to-end".format(
+                mig["mig_eval_seconds"]))
+        else:
+            _progress("MIG eval bench failed: {}".format(mig_err))
     _progress("device-only bench (compile + 320 steps)...")
     device_ips = bench_device_only()
     _progress("device-only (policy=default): {:.0f} img/s".format(device_ips))
@@ -214,12 +257,18 @@ def main():
         "precision_policy": "default",  # bf16 MXU passes, f32 data (TPU prod)
         "device_only_ips": round(device_ips, 1),
         "parity_policy_ips": PARITY_POLICY_IPS,  # --precision highest
+        "parity_policy_ips_provenance": PARITY_POLICY_PROVENANCE,
         "ref_cpu_ips": REF_CPU_IPS,
         "ref_gpu_estimate_ips": REF_GPU_EST_IPS,
         "vs_gpu_estimate": round(e2e_ips / REF_GPU_EST_IPS, 3),
     }
     if stream_ips is not None:
         out["streaming_pipeline_ips"] = round(stream_ips, 1)
+    if mig is not None:
+        out.update(mig)
+    elif mig_err is not None:
+        out["mig_eval_seconds"] = None
+        out["mig_eval_error"] = mig_err
     print(json.dumps(out))
 
 

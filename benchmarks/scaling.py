@@ -5,6 +5,8 @@ bench.py's device-only bound) across batch sizes and the three numeric
 policies the CLI exposes:
 
   highest  - f32 MXU passes (the parity default; 6 passes per matmul)
+  high     - 3-pass bf16 (~f32 accuracy at roughly half the parity cost;
+             accuracy measured by tools/precision_parity_probe.py)
   default  - bf16 MXU passes over f32 activations (XLA's TPU default)
   bf16     - precision default + bfloat16 activations/params in the conv
              stack (model compute_dtype=bfloat16; heads/losses stay f32)
@@ -12,7 +14,7 @@ policies the CLI exposes:
 One config per invocation (tunnel compiles are minutes; the persistent
 compile cache makes re-runs cheap):
 
-  python benchmarks/scaling.py <batch> <highest|default|bf16>
+  python benchmarks/scaling.py <batch> <highest|high|default|bf16>
 
 Prints one JSON line. Results recorded in README.md's scaling table.
 """

@@ -64,6 +64,49 @@ def load_torch_checkpoint(path):
     return torch_state_dict_to_params(state_dict)
 
 
+def torch_burgess_forward(sd, x, latent_dim=10):
+    """Reference Burgess forward (eval mode, z = mu) straight from a raw
+    torch state dict — the golden side of the forward/gradient parity gates
+    (tests/test_torch_parity.py) and the on-chip precision probe
+    (tools/precision_parity_probe.py). Mirrors reference
+    disvae/models/encoders.py:69-89 and decoders.py:67-84. Returns
+    (mu, logvar, reconstruction) as torch tensors (NCHW)."""
+    import torch
+    import torch.nn.functional as F
+    h = x
+    for name in ["conv1", "conv2", "conv3", "conv_64"]:
+        key = "encoder.{}.weight".format(name)
+        if key in sd:
+            h = F.relu(F.conv2d(h, sd[key],
+                                sd[key.replace("weight", "bias")],
+                                stride=2, padding=1))
+    h = h.reshape(h.shape[0], -1)
+    h = F.relu(F.linear(h, sd["encoder.lin1.weight"],
+                        sd["encoder.lin1.bias"]))
+    h = F.relu(F.linear(h, sd["encoder.lin2.weight"],
+                        sd["encoder.lin2.bias"]))
+    ml = F.linear(h, sd["encoder.mu_logvar_gen.weight"],
+                  sd["encoder.mu_logvar_gen.bias"])
+    mu, logvar = ml.view(-1, latent_dim, 2).unbind(-1)
+    d = F.relu(F.linear(mu, sd["decoder.lin1.weight"],
+                        sd["decoder.lin1.bias"]))
+    d = F.relu(F.linear(d, sd["decoder.lin2.weight"],
+                        sd["decoder.lin2.bias"]))
+    d = F.relu(F.linear(d, sd["decoder.lin3.weight"],
+                        sd["decoder.lin3.bias"]))
+    d = d.view(-1, 32, 4, 4)
+    for name in ["convT_64", "convT1", "convT2"]:
+        key = "decoder.{}.weight".format(name)
+        if key in sd:
+            d = F.relu(F.conv_transpose2d(d, sd[key],
+                                          sd[key.replace("weight", "bias")],
+                                          stride=2, padding=1))
+    d = torch.sigmoid(F.conv_transpose2d(d, sd["decoder.convT3.weight"],
+                                         sd["decoder.convT3.bias"],
+                                         stride=2, padding=1))
+    return mu, logvar, d
+
+
 def params_to_torch_state_dict(params):
     """Inverse conversion, for exporting our checkpoints to reference format."""
     import torch

@@ -23,37 +23,9 @@ import torch.nn.functional as F  # noqa: E402
 from disvae_tpu.models.vae import init_specific_model  # noqa: E402
 from disvae_tpu.ops import losses as L  # noqa: E402
 from disvae_tpu.utils.torch_compat import (load_torch_checkpoint,  # noqa: E402
-                                           params_to_torch_state_dict)
-
-
-def _torch_burgess_forward(sd, x, latent_dim=10):
-    """Reference Burgess forward (eval mode) from a raw state dict."""
-    h = x
-    for name in ["conv1", "conv2", "conv3", "conv_64"]:
-        key = "encoder.{}.weight".format(name)
-        if key in sd:
-            h = F.relu(F.conv2d(h, sd[key], sd[key.replace("weight", "bias")],
-                                stride=2, padding=1))
-    h = h.reshape(h.shape[0], -1)
-    h = F.relu(F.linear(h, sd["encoder.lin1.weight"], sd["encoder.lin1.bias"]))
-    h = F.relu(F.linear(h, sd["encoder.lin2.weight"], sd["encoder.lin2.bias"]))
-    ml = F.linear(h, sd["encoder.mu_logvar_gen.weight"],
-                  sd["encoder.mu_logvar_gen.bias"])
-    mu, logvar = ml.view(-1, latent_dim, 2).unbind(-1)
-    d = F.relu(F.linear(mu, sd["decoder.lin1.weight"], sd["decoder.lin1.bias"]))
-    d = F.relu(F.linear(d, sd["decoder.lin2.weight"], sd["decoder.lin2.bias"]))
-    d = F.relu(F.linear(d, sd["decoder.lin3.weight"], sd["decoder.lin3.bias"]))
-    d = d.view(-1, 32, 4, 4)
-    for name in ["convT_64", "convT1", "convT2"]:
-        key = "decoder.{}.weight".format(name)
-        if key in sd:
-            d = F.relu(F.conv_transpose2d(d, sd[key],
-                                          sd[key.replace("weight", "bias")],
-                                          stride=2, padding=1))
-    d = torch.sigmoid(F.conv_transpose2d(d, sd["decoder.convT3.weight"],
-                                         sd["decoder.convT3.bias"],
-                                         stride=2, padding=1))
-    return mu, logvar, d
+                                           params_to_torch_state_dict,
+                                           torch_burgess_forward as
+                                           _torch_burgess_forward)
 
 
 @pytest.mark.skipif(not has_reference_results(),
@@ -211,6 +183,7 @@ def test_gradient_parity_on_shipped_checkpoint():
         assert np.abs(got - expect).max() / scale < 1e-3, k
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir("/root/reference/disvae"),
                     reason="reference package unavailable")
 def test_training_dynamics_parity_vs_reference(tmp_path):
@@ -280,6 +253,7 @@ def test_training_dynamics_parity_vs_reference(tmp_path):
     assert rel.max() < 0.05, (ours, theirs)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not (os.path.isdir("/root/reference/disvae")
                          and has_reference_results()),
                     reason="live reference or checkpoints unavailable")

@@ -43,7 +43,8 @@ def test_every_cli_invocation_parses():
             # plot scripts' cherry-picked index lists) gets a numeric
             # placeholder
             args = [a.replace("${loss}", "btcvae")
-                     .replace("${dataset}", "dsprites") for a in argv[1:]]
+                     .replace("${dataset}", "dsprites")
+                     .replace("${precision}", "highest") for a in argv[1:]]
             args = [re.sub(r"\$\{?\w+\}?", "1", a) for a in args]
             if argv[0] == "main.py":
                 parsed = main_mod.parse_arguments(args)

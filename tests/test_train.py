@@ -607,3 +607,39 @@ def test_resident_feed_matches_streaming(tmp_path, tiny_dataset, mesh_on):
                     jax.tree_util.tree_leaves(s_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
     assert int(s_stream.step) == int(s_res.step) == 6
+
+
+def test_resident_feed_rekeys_on_new_dataset(tmp_path, tiny_dataset):
+    """A Trainer whose resident feed was built for one dataset must rebuild
+    it when driven with a different loader (advisor finding r2: the cached
+    wire array was keyed once per Trainer, so a second dataset's indices
+    gathered out of the FIRST dataset's rows). Gate: an epoch over dataset
+    B after an epoch over dataset A produces the same params as a fresh
+    trainer stepped over A then B with the streaming feed."""
+    from disvae_tpu.data.datasets import ArrayDataset
+
+    ds_a = ArrayDataset(tiny_dataset.imgs[:64])
+    ds_b = ArrayDataset((255 - tiny_dataset.imgs[:64]))  # distinct content
+    cfg = L.BetaHLoss(beta=1, steps_anneal=0)
+
+    def run(resident):
+        model, params = init_specific_model("Burgess", ds_a.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        tr = Trainer(model, params, cfg, lr=1e-3,
+                     rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                     is_progress_bar=False, resident=resident)
+        tr._train_epoch(DataLoader(ds_a, batch_size=32, shuffle=True,
+                                   seed=0), 0)
+        wire_a = tr._resident.wire if tr._resident is not None else None
+        tr._train_epoch(DataLoader(ds_b, batch_size=32, shuffle=True,
+                                   seed=0), 0)
+        if resident == "always":
+            assert tr._resident is not None
+            assert tr._resident.wire is not wire_a  # rebuilt for ds_b
+        return tr.state
+
+    s_stream = run("never")
+    s_res = run("always")
+    for a, b in zip(jax.tree_util.tree_leaves(s_stream.params),
+                    jax.tree_util.tree_leaves(s_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)

@@ -52,7 +52,7 @@ def measure(batch, policy):
                           steps_anneal=0)
     optimizer = make_optimizer(5e-4)
     state = create_train_state(model, params, optimizer,
-                               jax.random.PRNGKey(1))
+                               jax.random.PRNGKey(1), loss_cfg=loss_cfg)
     multi = make_multi_train_step(model, loss_cfg, optimizer)
     keys = metric_key_order(loss_cfg.name, model.latent_dim)
 

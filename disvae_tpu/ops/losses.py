@@ -17,6 +17,17 @@ departures from the torch design, driven by XLA's compile-once model:
   reference's update for both (see factor_surrogate below).
 * Annealing uses traced jnp.minimum instead of Python min so `step` can be a
   tracer (reference linear_annealing at losses.py:511-518).
+* Sweep-compile-once: the float hyperparameters a sweep varies (alpha /
+  beta / gamma / C bounds) can enter the compiled program as a TRACED
+  operand vector instead of baked constants. Each loss declares
+  `coef_names`; `coef_vector(cfg)` packs the current values, the train
+  state carries them, and `__call__(..., coefs=...)` reads them back. The
+  emitted HLO is then identical across hyperparameter values, so
+  bin/train_mutual_info.sh's per-alpha CLI processes hit the persistent
+  compilation cache instead of paying a multi-minute XLA compile per value
+  (measured 8.5 min for the resident whole-epoch program per alpha on the
+  tunneled v5e). `coefs=None` (the default everywhere outside the train
+  step) keeps the old constant-folding behavior.
 """
 
 from dataclasses import dataclass
@@ -66,6 +77,16 @@ def get_loss_f(loss_name, **kwargs_parse):
                           **kwargs_all)
     else:
         raise ValueError("Unrecognized loss: {}".format(loss_name))
+
+
+def coef_vector(loss_cfg):
+    """The loss's sweepable hyperparameters as an f32 vector, in
+    `coef_names` order — the traced operand the train state carries so one
+    compiled program serves every hyperparameter value (module docstring).
+    Empty vector for losses with no sweepable coefficients."""
+    names = getattr(loss_cfg, "coef_names", ())
+    return jnp.asarray([float(getattr(loss_cfg, n)) for n in names],
+                       jnp.float32)
 
 
 def linear_annealing(init, fin, step, annealing_steps):
@@ -201,15 +222,17 @@ class BetaHLoss:
 
     name = "betaH"
     needs_discriminator = False
+    coef_names = ("beta",)
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, n_valid=None, **unused):
+                 latent_sample=None, n_valid=None, coefs=None, **unused):
+        beta = self.beta if coefs is None else coefs[0]
         rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
                                        n_valid=n_valid)
         kl_loss, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
-        loss = rec_loss + anneal_reg * (self.beta * kl_loss)
+        loss = rec_loss + anneal_reg * (beta * kl_loss)
         metrics.update(recon_loss=rec_loss, loss=loss)
         return loss, metrics
 
@@ -227,15 +250,18 @@ class BetaBLoss:
 
     name = "betaB"
     needs_discriminator = False
+    coef_names = ("C_init", "C_fin", "gamma")
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, n_valid=None, **unused):
+                 latent_sample=None, n_valid=None, coefs=None, **unused):
+        C_init, C_fin, gamma = ((self.C_init, self.C_fin, self.gamma)
+                                if coefs is None else coefs)
         rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
                                        n_valid=n_valid)
         kl_loss, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
-        C = (linear_annealing(self.C_init, self.C_fin, step, self.steps_anneal)
-             if is_train else jnp.asarray(self.C_fin, jnp.float32))
-        loss = rec_loss + self.gamma * jnp.abs(kl_loss - C)
+        C = (linear_annealing(C_init, C_fin, step, self.steps_anneal)
+             if is_train else jnp.asarray(C_fin, jnp.float32))
+        loss = rec_loss + gamma * jnp.abs(kl_loss - C)
         metrics.update(recon_loss=rec_loss, loss=loss)
         return loss, metrics
 
@@ -260,9 +286,12 @@ class BtcvaeLoss:
 
     name = "btcvae"
     needs_discriminator = False
+    coef_names = ("alpha", "beta", "gamma")
 
     def __call__(self, data, recon_data, latent_dist, is_train, step,
-                 latent_sample=None, n_valid=None, **unused):
+                 latent_sample=None, n_valid=None, coefs=None, **unused):
+        alpha, beta, gamma = ((self.alpha, self.beta, self.gamma)
+                              if coefs is None else coefs)
         rec_loss = reconstruction_loss(data, recon_data, self.rec_dist,
                                        n_valid=n_valid)
         log_pz, log_qz, log_prod_qzi, log_q_zCx = _log_pz_qz_prodzi_qzCx(
@@ -274,9 +303,9 @@ class BtcvaeLoss:
         dw_kl_loss = _masked_mean(log_prod_qzi - log_pz, n_valid)  # dwKL
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
-        loss = rec_loss + (self.alpha * mi_loss
-                           + self.beta * tc_loss
-                           + anneal_reg * self.gamma * dw_kl_loss)
+        loss = rec_loss + (alpha * mi_loss
+                           + beta * tc_loss
+                           + anneal_reg * gamma * dw_kl_loss)
         _, metrics = _kl_metrics(*latent_dist, n_valid=n_valid)
         metrics.update(recon_loss=rec_loss, loss=loss, mi_loss=mi_loss,
                        tc_loss=tc_loss, dw_kl_loss=dw_kl_loss)
@@ -300,20 +329,23 @@ class FactorKLoss:
 
     name = "factor"
     needs_discriminator = True
+    coef_names = ("gamma",)
 
     def __call__(self, *args, **kwargs):
         raise ValueError("Use the factor train/eval step to also train the "
                          "discriminator")
 
-    def eval_losses(self, data, recon_data, latent_dist, d_z, is_train, step):
+    def eval_losses(self, data, recon_data, latent_dist, d_z, is_train, step,
+                    coefs=None):
         """Evaluation-path loss pieces (no updates): mirrors the storer values
         of call_optimize when model.training is False (losses.py:254-278)."""
+        gamma = self.gamma if coefs is None else coefs[0]
         rec_loss = reconstruction_loss(data, recon_data, self.rec_dist)
         kl_loss, metrics = _kl_metrics(*latent_dist)
         tc_loss = jnp.mean(d_z[:, 0] - d_z[:, 1])
         anneal_reg = (linear_annealing(0, 1, step, self.steps_anneal)
                       if is_train else 1.0)
-        vae_loss = rec_loss + kl_loss + anneal_reg * self.gamma * tc_loss
+        vae_loss = rec_loss + kl_loss + anneal_reg * gamma * tc_loss
         metrics.update(recon_loss=rec_loss, loss=vae_loss, tc_loss=tc_loss)
         return vae_loss, metrics
 
@@ -344,7 +376,7 @@ def softmax_cross_entropy(logits, labels, n_valid=None):
 
 
 def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
-                     step, is_train=True, n_valid=None):
+                     step, is_train=True, n_valid=None, coefs=None):
     """Single differentiable scalar whose gradients wrt (params, disc_params)
     reproduce the reference's dual-backward update exactly.
 
@@ -391,7 +423,8 @@ def factor_surrogate(loss_cfg, model, disc, params, disc_params, data, rng,
     tc_loss = _masked_mean(tc_diff, n_valid_half)
     anneal_reg = (linear_annealing(0, 1, step, loss_cfg.steps_anneal)
                   if is_train else 1.0)
-    vae_loss = rec_loss + kl_loss + anneal_reg * loss_cfg.gamma * tc_loss
+    gamma = loss_cfg.gamma if coefs is None else coefs[0]
+    vae_loss = rec_loss + kl_loss + anneal_reg * gamma * tc_loss
 
     # Discriminator loss: real z1 vs detached permuted z2.
     z2 = model.sample_latent(params, data2, rng2, is_train=is_train)

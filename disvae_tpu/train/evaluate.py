@@ -115,6 +115,10 @@ class Evaluator:
             if self.disc_params is not None:
                 self.disc_params = jax.device_put(self.disc_params, rep)
         self._eval_step = make_eval_step(model, loss_f, disc=disc)
+        # traced hyperparameter vector -> the compiled eval program is
+        # shared across sweep values (ops/losses.py coef_vector)
+        from disvae_tpu.ops.losses import coef_vector
+        self._loss_coefs = coef_vector(loss_f)
         self._encode = jax.jit(lambda p, x: model.encode(
             p, _decompress_batch(x, model.img_size)))
         self.logger.info("Testing Device: {}".format(
@@ -178,7 +182,8 @@ class Evaluator:
         n_batches = len(dataloader)
         for data, _ in dataloader:
             batch = self._place_batch(np.asarray(data))
-            metrics = self._eval_step(self.params, self.disc_params, batch)
+            metrics = self._eval_step(self.params, self.disc_params, batch,
+                                      self._loss_coefs)
             # one packed transfer instead of a per-scalar fetch per key
             keys = sorted(metrics)
             vals = np.asarray(jnp.stack([metrics[k] for k in keys]))

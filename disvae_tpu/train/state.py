@@ -21,15 +21,26 @@ class TrainState:
     rng: jax.Array             # n_train_steps (incremented before use)
     disc_params: dict = None
     disc_opt_state: object = None
+    # Sweepable loss hyperparameters as a traced f32 vector (see
+    # ops/losses.py coef_vector): carrying them in the state keeps the
+    # compiled step's HLO identical across hyperparameter values, so sweep
+    # processes (bin/train_mutual_info.sh) share one persistent-cache
+    # entry instead of recompiling per value. None = constants baked in
+    # (library callers that build states without a loss_cfg).
+    coefs: jnp.ndarray = None
 
 
 def create_train_state(model, params, optimizer, rng, disc=None,
-                       disc_optimizer=None, disc_rng=None):
+                       disc_optimizer=None, disc_rng=None, loss_cfg=None):
     disc_params = None
     disc_opt_state = None
     if disc is not None:
         disc_params = disc.init(disc_rng)
         disc_opt_state = disc_optimizer.init(disc_params)
+    coefs = None
+    if loss_cfg is not None:
+        from disvae_tpu.ops.losses import coef_vector
+        coefs = coef_vector(loss_cfg)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -37,4 +48,5 @@ def create_train_state(model, params, optimizer, rng, disc=None,
         rng=rng,
         disc_params=disc_params,
         disc_opt_state=disc_opt_state,
+        coefs=coefs,
     )

@@ -93,9 +93,12 @@ def make_eval_step(model, loss_cfg, disc=None):
     (vae.py:65-71 with model.eval()), annealing factors are at their final
     value (losses.py:146-147,194-195), and FactorVAE evaluates only the first
     half-batch and skips the discriminator loss (losses.py:276-278).
+
+    `coefs` is the traced hyperparameter vector (ops/losses.py
+    coef_vector), so sweep processes share the compiled eval program too.
     """
     if loss_cfg.needs_discriminator:
-        def eval_fn(params, disc_params, batch):
+        def eval_fn(params, disc_params, batch, coefs=None):
             batch = _decompress_batch(batch, model.img_size)
             half = batch.shape[0] // 2
             data1 = batch[:half]
@@ -103,17 +106,18 @@ def make_eval_step(model, loss_cfg, disc=None):
                                                 is_train=False)
             d_z = disc.apply(disc_params, z)
             _, metrics = loss_cfg.eval_losses(data1, recon, latent_dist, d_z,
-                                              is_train=False, step=0)
+                                              is_train=False, step=0,
+                                              coefs=coefs)
             return metrics
         return jax.jit(eval_fn)
 
-    def eval_fn(params, disc_params, batch):
+    def eval_fn(params, disc_params, batch, coefs=None):
         del disc_params
         batch = _decompress_batch(batch, model.img_size)
         recon, latent_dist, z = model.apply(params, batch, rng=None,
                                             is_train=False)
         _, metrics = loss_cfg(batch, recon, latent_dist, False, 0,
-                              latent_sample=z)
+                              latent_sample=z, coefs=coefs)
         return metrics
     return jax.jit(eval_fn)
 
@@ -147,7 +151,7 @@ def _standard_train_step(model, loss_cfg, optimizer, state, batch,
         recon, latent_dist, z = model.apply(params, batch, rng_reparam,
                                             is_train=True)
         return loss_cfg(batch, recon, latent_dist, True, step,
-                        latent_sample=z, n_valid=n_valid)
+                        latent_sample=z, n_valid=n_valid, coefs=state.coefs)
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)
@@ -172,7 +176,7 @@ def _factor_train_step(model, loss_cfg, optimizer, disc, disc_optimizer,
     def loss_fn(params, disc_params):
         return L.factor_surrogate(loss_cfg, model, disc, params, disc_params,
                                   batch, rng_loss, step, is_train=True,
-                                  n_valid=n_valid)
+                                  n_valid=n_valid, coefs=state.coefs)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
     (_, metrics), (grads, disc_grads) = grad_fn(state.params,

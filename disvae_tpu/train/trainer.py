@@ -91,7 +91,8 @@ class Trainer:
         self.state = create_train_state(model, params, optimizer, rng,
                                         disc=disc,
                                         disc_optimizer=disc_optimizer,
-                                        disc_rng=disc_rng)
+                                        disc_rng=disc_rng,
+                                        loss_cfg=loss_f)
         self._train_step = make_train_step(model, loss_f, optimizer,
                                            disc=disc,
                                            disc_optimizer=disc_optimizer,
@@ -180,6 +181,12 @@ class Trainer:
             return 0
         with open(path, "rb") as f:
             payload = flax.serialization.msgpack_restore(f.read())
+        if "coefs" not in payload["state"]:
+            # checkpoint predates the traced-hyperparameter vector: seed it
+            # from the current loss config (identical semantics — the old
+            # program had these values baked in as constants)
+            from disvae_tpu.ops.losses import coef_vector
+            payload["state"]["coefs"] = np.asarray(coef_vector(self.loss_f))
         self.state = flax.serialization.from_state_dict(self.state,
                                                         payload["state"])
         # seed the host step mirror from the (host-side) msgpack payload

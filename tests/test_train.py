@@ -643,3 +643,46 @@ def test_resident_feed_rekeys_on_new_dataset(tmp_path, tiny_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(s_stream.params),
                     jax.tree_util.tree_leaves(s_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_traced_coefs_one_program_serves_all_values():
+    """Sweep-compile-once (ops/losses.py coef_vector): a train step BUILT
+    for alpha=1 must, when fed a state carrying alpha=5's coef vector,
+    produce exactly what a step built for alpha=5 produces — the
+    hyperparameters are traced operands, not baked constants, so per-alpha
+    sweep processes share one compiled program (and one persistent-cache
+    entry) instead of paying a multi-minute XLA compile per value."""
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg1 = L.BtcvaeLoss(n_data=64, alpha=1, beta=6, gamma=1, steps_anneal=0)
+    cfg5 = L.BtcvaeLoss(n_data=64, alpha=5, beta=6, gamma=1, steps_anneal=0)
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3)
+    batch = np.random.RandomState(0).rand(16, 32, 32, 1).astype(np.float32)
+
+    def fresh_state(cfg):
+        return create_train_state(model, params, opt, jax.random.PRNGKey(1),
+                                  loss_cfg=cfg)
+
+    step_for_1 = make_train_step(model, cfg1, opt, donate=False)
+    step_for_5 = make_train_step(model, cfg5, opt, donate=False)
+
+    # same program, alpha delivered via the state's coef vector
+    st_a = fresh_state(cfg1).replace(coefs=L.coef_vector(cfg5))
+    new_a, metrics_a = step_for_1(st_a, batch)
+    new_b, metrics_b = step_for_5(fresh_state(cfg5), batch)
+
+    for k in metrics_b:
+        np.testing.assert_allclose(np.asarray(metrics_a[k]),
+                                   np.asarray(metrics_b[k]), rtol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(new_a.params),
+                    jax.tree_util.tree_leaves(new_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # and the alpha=1 state reuses the SAME executable (no retrace)
+    step_for_1(fresh_state(cfg1), batch)
+    if hasattr(step_for_1, "_cache_size"):
+        assert step_for_1._cache_size() == 1

@@ -6,7 +6,9 @@ the default HBM-RESIDENT feed (`--resident-data auto`) — the uint8 wire
 dataset is uploaded once at startup, then every timed epoch ships its
 shuffled permutation and gathers batches on device, through the real
 Trainer epoch loop (K-step lax.scan super-step, flattened Adam, on-device
-decompress, per-epoch metrics fetch). `device_only_ips` bounds the compute
+decompress, pipelined per-epoch metrics fetch — epoch N's fetch overlaps
+epoch N+1's device compute, as in Trainer.__call__; timed over 3 warm
+epochs with the final fetch inside the window). `device_only_ips` bounds the compute
 path (no epoch machinery at all); the gap between the two is the resident
 feed's overhead. The STREAMING pipeline (disk memmap -> native C++ gather
 -> uint8 wire -> prefetch thread -> host->device transfer every batch) is
@@ -146,13 +148,36 @@ def bench_end_to_end(resident="auto"):
     loss, _ = trainer._train_epoch(warm_loader, 0)
     assert np.isfinite(loss), loss
 
-    _progress("e2e timed epoch over {} images...".format(len(ds)))
+    if resident == "never":
+        _progress("e2e timed epoch over {} images...".format(len(ds)))
+        t0 = time.perf_counter()
+        loss, _ = trainer._train_epoch(loader, 1)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss), loss
+        _progress("e2e epoch done in {:.1f}s".format(dt))
+        return len(ds) / dt
+
+    # Resident feed: time the PIPELINED steady state Trainer.__call__ runs
+    # in production — epoch N's metrics fetch deferred until epoch N+1 is
+    # dispatched, so the tunnel round-trip and permutation prep overlap
+    # device compute (trainer.py __call__). 3 epochs, final fetch inside
+    # the timed window (the only honest sync on this platform).
+    n_epochs = 3
+    _progress("e2e timed {} pipelined epochs over {} images each..."
+              .format(n_epochs, len(ds)))
     t0 = time.perf_counter()
-    loss, _ = trainer._train_epoch(loader, 1)
+    pending = None
+    losses = []
+    for e in range(1, 1 + n_epochs):
+        dm, bs = trainer._dispatch_epoch_resident(loader)
+        if pending is not None:
+            losses.append(trainer._reduce_epoch_metrics(*pending)[0])
+        pending = (dm, bs)
+    losses.append(trainer._reduce_epoch_metrics(*pending)[0])
     dt = time.perf_counter() - t0
-    assert np.isfinite(loss), loss
-    _progress("e2e epoch done in {:.1f}s".format(dt))
-    return len(ds) / dt
+    assert all(np.isfinite(x) for x in losses), losses
+    _progress("e2e {} epochs done in {:.1f}s".format(n_epochs, dt))
+    return len(ds) * n_epochs / dt
 
 
 def bench_device_only(policy="default"):

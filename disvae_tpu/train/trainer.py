@@ -35,6 +35,32 @@ CKPT_FILE = "train_state.msgpack"
 _NO_DATASET = object()  # sentinel distinct from any dataset (incl. None)
 
 
+def _pack_metrics(device_metrics):
+    """Concatenate a list of per-step metric arrays ((n_keys,) per single
+    step, (K, n_keys) per K-step scan) into ONE device (n_rows, n_keys)
+    array, and start its device->host copy in the background.
+
+    MUST be called at DISPATCH time, not fetch time: the device stream
+    executes programs in enqueue order, so a concatenate enqueued after the
+    NEXT epoch's scan would wait behind that whole epoch and re-serialize
+    the pipelined loop. Enqueued here, it runs right after its own epoch's
+    steps, and copy_to_host_async starts the transfer the moment the rows
+    exist — by the time the pipelined reduce asks for the values, they are
+    already on the host (or en route), overlapped with the next epoch's
+    compute."""
+    import jax.numpy as jnp
+
+    if not device_metrics:
+        return None
+    ms = [m if m.ndim == 2 else m[None] for m in device_metrics]
+    packed = ms[0] if len(ms) == 1 else jnp.concatenate(ms, axis=0)
+    try:
+        packed.copy_to_host_async()
+    except Exception:  # platform without async host copies: fetch pays full
+        pass
+    return packed
+
+
 class Trainer:
     """Drives training of a (model, params) pair under a loss config.
 
@@ -64,7 +90,8 @@ class Trainer:
                  mesh=None,
                  steps_per_dispatch=16,
                  resident="auto",
-                 resume=False):
+                 resume=False,
+                 pipeline_epochs=True):
         self.model = model
         self.loss_f = loss_f
         self.save_dir = save_dir
@@ -73,6 +100,11 @@ class Trainer:
         self.gif_visualizer = gif_visualizer
         self.steps_per_dispatch = max(1, int(steps_per_dispatch))
         self.mesh = mesh
+        # Fetch epoch N's metrics only after dispatching epoch N+1 (resident
+        # feed only): hides the device->host round-trip and next-epoch
+        # permutation prep behind device compute. Identical numbers either
+        # way; False restores strictly sequential epochs.
+        self.pipeline_epochs = bool(pipeline_epochs)
         self._start_epoch = 0
 
         if rng is None:
@@ -224,18 +256,56 @@ class Trainer:
             except ValueError:  # not in the main thread
                 pass
 
-        for epoch in range(start_epoch, epochs):
-            epoch_t0 = default_timer()
-            mean_epoch_loss, storer = self._train_epoch(data_loader, epoch)
-            epoch_dt = default_timer() - epoch_t0
-            n_images += len(data_loader.dataset)
+        # Epoch pipelining (resident feed only): the profiler trace
+        # (results/profile_e2e) shows the epoch's host span is ~95% blocked
+        # in the metrics fetch — the device finishes the whole-epoch scan,
+        # then the host pays a tunnel round-trip plus next-epoch permutation
+        # prep while the chip idles. Deferring the fetch of epoch N until
+        # epoch N+1 has been dispatched overlaps both with device compute;
+        # the numbers are identical (same device arrays, fetched later).
+        use_pipeline = self.pipeline_epochs and self._use_resident(data_loader)
+        pending = None  # (epoch, device_metric rows, base_step), unfetched
+        self._epoch_anchor = default_timer()
+
+        def _log_epoch(p_epoch, mean_epoch_loss, storer):
+            now = default_timer()
+            epoch_dt = now - self._epoch_anchor
+            self._epoch_anchor = now
             self.logger.info(
                 "Epoch: {} Average loss per image: {:.2f} "
                 "({:.0f} images/sec)".format(
-                    epoch + 1, mean_epoch_loss,
+                    p_epoch + 1, mean_epoch_loss,
                     len(data_loader.dataset) / max(epoch_dt, 1e-9)))
             if self.losses_logger is not None:
-                self.losses_logger.log(epoch, storer)
+                self.losses_logger.log(p_epoch, storer)
+
+        def _finish_epoch(pend):
+            p_epoch, dm, bs = pend
+            mean_epoch_loss, storer = self._reduce_epoch_metrics(dm, bs)
+            _log_epoch(p_epoch, mean_epoch_loss, storer)
+
+        for epoch in range(start_epoch, epochs):
+            if use_pipeline:
+                dm, bs = self._dispatch_epoch_resident(data_loader)
+                if pending is not None:
+                    _finish_epoch(pending)
+                pending = (epoch, dm, bs)
+            else:
+                mean_epoch_loss, storer = self._train_epoch(data_loader,
+                                                            epoch)
+                pending = None
+                _log_epoch(epoch, mean_epoch_loss, storer)
+            n_images += len(data_loader.dataset)
+
+            # Anything that fetches state (gif render, checkpoint) syncs the
+            # pipeline anyway, and the CSV must stay ahead of checkpoints
+            # (resume truncates rows >= the checkpoint epoch): flush first.
+            if pending is not None and (
+                    self.gif_visualizer is not None
+                    or epoch % checkpoint_every == 0
+                    or stop["flag"] or epoch == epochs - 1):
+                _finish_epoch(pending)
+                pending = None
 
             if self.gif_visualizer is not None:
                 self.gif_visualizer(self.state.params)
@@ -247,11 +317,22 @@ class Trainer:
                 self.save_checkpoint(epoch)
 
             if stop["flag"]:
+                if pending is not None:  # signal landed after the flush gate
+                    _finish_epoch(pending)
+                    pending = None
                 self.save_checkpoint(epoch)
                 self.logger.warning(
                     "Stopped by signal after epoch %d; resume with --resume.",
                     epoch)
                 break
+
+            if pending is None:
+                # epoch timing starts fresh after synchronous end-of-epoch
+                # work (gif render / checkpoint write)
+                self._epoch_anchor = default_timer()
+
+        if pending is not None:
+            _finish_epoch(pending)
 
         for sig, h in old_handlers.items():
             # None = handler installed by non-Python code; restore the OS
@@ -372,10 +453,22 @@ class Trainer:
         return self._resident_step
 
     def _train_epoch_resident(self, data_loader, epoch):
-        """One epoch fed from HBM: one scan dispatch for all full batches
-        (indices are the only host->device traffic), plus the usual
+        """One epoch fed from HBM, dispatch + fetch in one call (the
+        pipelined __call__ loop uses the two halves directly so the fetch
+        of epoch N overlaps the device compute of epoch N+1)."""
+        device_metrics, base_step = self._dispatch_epoch_resident(data_loader)
+        return self._reduce_epoch_metrics(device_metrics, base_step)
+
+    def _dispatch_epoch_resident(self, data_loader):
+        """Enqueue one epoch fed from HBM: one scan dispatch for all full
+        batches (indices are the only host->device traffic), plus the usual
         single/padded step for a ragged tail. Batch order is identical to
-        the streaming path (same DataLoader.epoch_order)."""
+        the streaming path (same DataLoader.epoch_order). Returns the
+        UNFETCHED packed (n_rows, n_keys) device metrics (host copy already
+        in flight — see _pack_metrics) and the base step counter; pass both
+        to _reduce_epoch_metrics to realize the epoch's numbers. Dispatch
+        is async — this returns as soon as XLA has queued the work, so the
+        caller can overlap host work with the epoch."""
         import jax.numpy as jnp
 
         base_step = self._host_step
@@ -427,7 +520,10 @@ class Trainer:
             device_metrics.append(
                 stack_metrics(metrics, self.metric_keys))
 
-        return self._reduce_epoch_metrics(device_metrics, base_step)
+        packed = _pack_metrics(device_metrics)
+        self._host_step = base_step + \
+            (0 if packed is None else packed.shape[0])
+        return packed, base_step
 
     def _train_epoch(self, data_loader, epoch):
         """One epoch. Returns (mean loss over all steps, storer dict of means
@@ -527,21 +623,25 @@ class Trainer:
             if raw_before is not None:
                 data_loader.raw = raw_before
 
-        return self._reduce_epoch_metrics(device_metrics, base_step)
+        packed = _pack_metrics(device_metrics)
+        self._host_step = base_step + \
+            (0 if packed is None else packed.shape[0])
+        return self._reduce_epoch_metrics(packed, base_step)
 
-    def _reduce_epoch_metrics(self, device_metrics, base_step):
+    def _reduce_epoch_metrics(self, packed, base_step):
         """ONE device->host transfer per epoch (per-step metric fetches
         would pay the full host<->chip round-trip latency every iteration):
-        concatenate the packed per-step rows, apply the record-every-50
-        gate, return (mean epoch loss, storer of recorded-step means)."""
-        import jax.numpy as jnp
+        fetch the dispatch-time-packed (n_rows, n_keys) array, apply the
+        record-every-50 gate, return (mean epoch loss, storer of
+        recorded-step means).
 
-        if not device_metrics:
+        The host step mirror is NOT touched here — dispatchers advance it
+        from the (statically known) row shapes, so the reduce of epoch N
+        may legally run after epoch N+1 was dispatched (__call__'s
+        pipelined loop)."""
+        if packed is None:
             return float("nan"), {}
-        all_metrics = np.asarray(jnp.concatenate(
-            [m if m.ndim == 2 else m[None] for m in device_metrics], axis=0))
-        # one metrics row per executed step: advance the host step mirror
-        self._host_step = base_step + all_metrics.shape[0]
+        all_metrics = np.asarray(packed)
         steps = base_step + 1 + np.arange(all_metrics.shape[0])
         recorded = (steps % RECORD_LOSS_EVERY) == 1
         loss_idx = self.metric_keys.index("loss")

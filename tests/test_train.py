@@ -609,6 +609,42 @@ def test_resident_feed_matches_streaming(tmp_path, tiny_dataset, mesh_on):
     assert int(s_stream.step) == int(s_res.step) == 6
 
 
+def test_pipelined_epochs_match_sequential(tmp_path, tiny_dataset):
+    """__call__'s epoch pipelining (fetch epoch N's metrics only after
+    dispatching epoch N+1; hides the device->host round-trip behind compute)
+    must be invisible in every artifact: identical train_losses.log CSV,
+    identical final params and step counter vs pipeline_epochs=False.
+    Exercises deferral across epochs 1..2 (checkpoint_every=10 keeps them
+    unflushed), the checkpoint-epoch flush at 0, the last-epoch flush, and
+    the ragged 26-row tail (90 % 32)."""
+    from disvae_tpu.data.datasets import ArrayDataset
+
+    imgs = tiny_dataset.imgs[:90]
+    cfg = L.BtcvaeLoss(n_data=90, alpha=1, beta=6, gamma=1, steps_anneal=20)
+
+    def run(pipelined):
+        save = tmp_path / ("pipe" if pipelined else "seq")
+        save.mkdir()
+        ds = ArrayDataset(imgs)
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        tr = Trainer(model, params, cfg, lr=1e-3,
+                     rng=jax.random.PRNGKey(1), save_dir=str(save),
+                     is_progress_bar=False, resident="always",
+                     pipeline_epochs=pipelined)
+        tr(loader, epochs=4, checkpoint_every=10)
+        return tr, (save / "train_losses.log").read_text()
+
+    tr_seq, csv_seq = run(False)
+    tr_pipe, csv_pipe = run(True)
+    assert csv_pipe == csv_seq
+    assert tr_pipe._host_step == tr_seq._host_step == 12
+    for a, b in zip(jax.tree_util.tree_leaves(tr_seq.state.params),
+                    jax.tree_util.tree_leaves(tr_pipe.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resident_feed_rekeys_on_new_dataset(tmp_path, tiny_dataset):
     """A Trainer whose resident feed was built for one dataset must rebuild
     it when driven with a different loader (advisor finding r2: the cached

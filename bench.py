@@ -1,14 +1,18 @@
 """Headline benchmark: btcvae_celeba b256 END-TO-END training throughput on
 one chip. Prints ONE JSON line.
 
-End-to-end means the CLI's production path exactly as `main.py` runs it:
-the default HBM-RESIDENT feed (`--resident-data auto`) — the uint8 wire
-dataset is uploaded once at startup, then every timed epoch ships its
-shuffled permutation and gathers batches on device, through the real
-Trainer epoch loop (K-step lax.scan super-step, flattened Adam, on-device
-decompress, pipelined per-epoch metrics fetch — epoch N's fetch overlaps
-epoch N+1's device compute, as in Trainer.__call__; timed over 3 warm
-epochs with the final fetch inside the window). `device_only_ips` bounds the compute
+End-to-end means the production Trainer epoch loop exactly as the CLI
+drives it with `--no-viz-gif`: the default HBM-RESIDENT feed
+(`--resident-data auto`) — the uint8 wire dataset is uploaded once at
+startup, then every timed epoch ships its shuffled permutation and gathers
+batches on device, through the real Trainer epoch loop (K-step lax.scan
+super-step, flattened Adam, on-device decompress, pipelined per-epoch
+metrics fetch — epoch N's fetch overlaps epoch N+1's device compute, as in
+Trainer.__call__; timed over 3 warm epochs with the final fetch inside the
+window). Without `--no-viz-gif` the CLI additionally renders a per-epoch
+latent-traversal gif frame (reference-faithful viz cadence), which syncs
+the device each epoch and adds the render cost on top of what is measured
+here. `device_only_ips` bounds the compute
 path (no epoch machinery at all); the gap between the two is the resident
 feed's overhead. The STREAMING pipeline (disk memmap -> native C++ gather
 -> uint8 wire -> prefetch thread -> host->device transfer every batch) is
@@ -148,8 +152,12 @@ def bench_end_to_end(resident="auto"):
     loss, _ = trainer._train_epoch(warm_loader, 0)
     assert np.isfinite(loss), loss
 
-    if resident == "never":
-        _progress("e2e timed epoch over {} images...".format(len(ds)))
+    if resident == "never" or trainer._resident is None:
+        # streaming — either requested, or "auto" declined residency (wire
+        # bytes over budget): time sequential epochs; the pipelined loop
+        # below is resident-only.
+        _progress("e2e timed epoch over {} images (streaming)..."
+                  .format(len(ds)))
         t0 = time.perf_counter()
         loss, _ = trainer._train_epoch(loader, 1)
         dt = time.perf_counter() - t0
@@ -157,11 +165,12 @@ def bench_end_to_end(resident="auto"):
         _progress("e2e epoch done in {:.1f}s".format(dt))
         return len(ds) / dt
 
-    # Resident feed: time the PIPELINED steady state Trainer.__call__ runs
-    # in production — epoch N's metrics fetch deferred until epoch N+1 is
-    # dispatched, so the tunnel round-trip and permutation prep overlap
-    # device compute (trainer.py __call__). 3 epochs, final fetch inside
-    # the timed window (the only honest sync on this platform).
+    # Resident feed: time the PIPELINED steady state Trainer.__call__
+    # reaches without a per-epoch gif render (= the CLI with --no-viz-gif)
+    # — epoch N's metrics fetch deferred until epoch N+1 is dispatched, so
+    # the tunnel round-trip and permutation prep overlap device compute
+    # (trainer.py __call__). 3 epochs, final fetch inside the timed window
+    # (the only honest sync on this platform).
     n_epochs = 3
     _progress("e2e timed {} pipelined epochs over {} images each..."
               .format(n_epochs, len(ds)))
@@ -258,12 +267,26 @@ def main():
     if os.environ.get("BENCH_METRICS", "1") != "0":
         _progress("MIG-eval wall-clock bench (subprocess, runs first "
                   "because the chip is single-tenant)...")
+        t_mig = time.perf_counter()
         mig, mig_err = bench_mig_eval()
+        mig_elapsed = time.perf_counter() - t_mig
         if mig is not None:
             _progress("MIG eval: {}s end-to-end".format(
                 mig["mig_eval_seconds"]))
         else:
             _progress("MIG eval bench failed: {}".format(mig_err))
+        # Tunnel cooldown: a TPU process started <~2 min after a heavy
+        # predecessor exits can wedge on its FIRST dispatch indefinitely
+        # (verify skill, observed twice at 23-28 min). The MIG subprocess
+        # just released the chip; wait before this process dispatches. A
+        # subprocess that died within seconds (import error, missing cache
+        # tool) never ran device programs — shorten the wait.
+        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "300"))
+        if mig is None and mig_elapsed < 60:
+            cooldown = min(cooldown, 120)
+        _progress("tunnel cooldown {}s before this process touches the "
+                  "chip...".format(cooldown))
+        time.sleep(cooldown)
     _progress("device-only bench (compile + 320 steps)...")
     device_ips = bench_device_only()
     _progress("device-only (policy=default): {:.0f} img/s".format(device_ips))

@@ -30,11 +30,9 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _progress  # noqa: E402  (repo root on sys.path above)
+
 EVAL_BATCH = 1000  # the CLI's eval_batchsize default (hyperparam.ini)
-
-
-def _progress(msg):
-    print("# " + msg, file=sys.stderr, flush=True)
 
 
 def main():

@@ -23,9 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-
-def _progress(msg):
-    print("# " + msg, file=sys.stderr, flush=True)
+from bench import _progress  # noqa: E402  (repo root on sys.path above)
 
 
 def main():

@@ -41,12 +41,19 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     scripts can call it unconditionally. Idempotent: if the runtime is
     already initialized (e.g. a launcher called jax.distributed.initialize
     itself, as tools/multihost_run.py does), this detects it and returns.
+
+    The already-initialized probe reads jax.distributed's client handle, NOT
+    jax.process_count(): process_count() initializes the XLA backend, after
+    which jax.distributed.initialize raises ("must be called before any JAX
+    calls") on every rank that actually needed it.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _jax_distributed
+
+    if _jax_distributed.global_state.client is not None:
         logger.info("distributed runtime already initialized: "
                     "process %d/%d", jax.process_index(),
                     jax.process_count())
-        return True
+        return jax.process_count() > 1
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()

@@ -213,12 +213,14 @@ class Trainer:
             return 0
         with open(path, "rb") as f:
             payload = flax.serialization.msgpack_restore(f.read())
-        if "coefs" not in payload["state"]:
-            # checkpoint predates the traced-hyperparameter vector: seed it
-            # from the current loss config (identical semantics — the old
-            # program had these values baked in as constants)
-            from disvae_tpu.ops.losses import coef_vector
-            payload["state"]["coefs"] = np.asarray(coef_vector(self.loss_f))
+        # coefs are a pure function of the CURRENT loss config, not training
+        # state: always re-derive so a resume honors the hyperparameters
+        # this Trainer was constructed with (= what specs.json records),
+        # never the checkpointed ones. Matches pre-traced-coefs semantics,
+        # where the resumed program baked the new values in as constants.
+        # Also covers checkpoints predating the coefs vector.
+        from disvae_tpu.ops.losses import coef_vector
+        payload["state"]["coefs"] = np.asarray(coef_vector(self.loss_f))
         self.state = flax.serialization.from_state_dict(self.state,
                                                         payload["state"])
         # seed the host step mirror from the (host-side) msgpack payload

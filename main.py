@@ -93,6 +93,12 @@ def parse_arguments(args_to_parse):
                               '(one host->device transfer total). "auto" '
                               'adopts it when the dataset fits the '
                               'residency budget.')
+    general.add_argument('--no-viz-gif', action='store_true', default=False,
+                         help='Skip the per-epoch latent-traversal gif '
+                              '(training.gif). Rendering it syncs the '
+                              'device every epoch; without it the trainer '
+                              'pipelines epochs (fetch of epoch N overlaps '
+                              'epoch N+1 compute) for peak throughput.')
 
     training = parser.add_argument_group('Training specific options')
     training.add_argument('--checkpoint-every', type=int,
@@ -313,7 +319,7 @@ def main(args):
         # so the wrapper detours each frame's params through the host onto
         # a local device (~500K params — negligible).
         gif_visualizer = None
-        if is_writer():
+        if is_writer() and not getattr(args, "no_viz_gif", False):
             gif_visualizer = GifTraversalsTraining(model, args.dataset,
                                                    exp_dir)
             if jax.process_count() > 1:

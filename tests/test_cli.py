@@ -87,3 +87,31 @@ def test_main_cli_trains_data_parallel_on_mesh(tmp_path, monkeypatch):
         rows = [r for r in csv.DictReader(f)]
     losses = [float(r["Value"]) for r in rows if r["Loss"] == "loss"]
     assert losses and all(np.isfinite(losses))
+
+
+def test_main_cli_no_viz_gif(tmp_path, monkeypatch):
+    """--no-viz-gif skips the per-epoch traversal gif (so the trainer's
+    pipelined epoch path stays engaged) while every other artifact is still
+    written."""
+    from disvae_tpu.data import datasets as D
+    import main as main_mod
+
+    root = tmp_path / "data" / "mnist"
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    np.savez_compressed(root / "train32.npz",
+                        imgs=(rng.rand(64, 32, 32, 1) * 255).astype(np.uint8),
+                        labels=rng.randint(0, 10, 64))
+    monkeypatch.setattr(D, "DATA_ROOT", str(tmp_path / "data"))
+    monkeypatch.chdir(tmp_path)
+
+    args = main_mod.parse_arguments(
+        ["nogif_run", "-d", "mnist", "-l", "betaH", "-e", "1", "-b", "32",
+         "--no-progress-bar", "-s", "1234", "--no-test", "--no-viz-gif",
+         "--no-mesh"])
+    main_mod.main(args)
+
+    run_dir = tmp_path / "results" / "nogif_run"
+    for f in ["model.npz", "specs.json", "train_losses.log"]:
+        assert os.path.exists(run_dir / f), f
+    assert not os.path.exists(run_dir / "training.gif")

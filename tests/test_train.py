@@ -186,6 +186,35 @@ def test_checkpoint_resume_bitexact(tmp_path, tiny_dataset):
     assert log.count("\n0,loss,") == 1
 
 
+def test_resume_honors_current_hyperparameters(tmp_path, tiny_dataset):
+    """--resume with different CLI hyperparameters must train at the NEW
+    values (what specs.json records), not the checkpoint's: state.coefs is
+    a pure function of the current loss config, re-derived on load. (r3
+    review finding: the traced-coefs vector made the checkpoint silently
+    win over the CLI.)"""
+    def fresh(beta, resume=False):
+        cfg = L.BetaHLoss(beta=beta, steps_anneal=0)
+        model, params = init_specific_model("Burgess", tiny_dataset.img_size,
+                                            10, key=jax.random.PRNGKey(0))
+        return Trainer(model, params, cfg, lr=1e-3,
+                       rng=jax.random.PRNGKey(1), save_dir=str(tmp_path),
+                       is_progress_bar=False, resume=resume)
+
+    loader = DataLoader(tiny_dataset, batch_size=16, shuffle=True, seed=0)
+    t0 = fresh(beta=4)
+    t0(loader, epochs=1, checkpoint_every=1)
+
+    t1 = fresh(beta=8, resume=True)
+    assert t1._start_epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.coefs),
+        np.asarray(L.coef_vector(L.BetaHLoss(beta=8, steps_anneal=0))))
+    # and NOT the checkpointed beta=4 vector
+    assert not np.array_equal(
+        np.asarray(t1.state.coefs),
+        np.asarray(L.coef_vector(L.BetaHLoss(beta=4, steps_anneal=0))))
+
+
 def test_sharded_trainer_and_evaluator_on_mesh(tmp_path, tiny_dataset):
     """Data-parallel Trainer + Evaluator over the 8-virtual-device mesh
     produce finite losses and the standard artifacts."""

@@ -35,17 +35,24 @@ jax.config.update("jax_platforms", "cpu")
 # like numerics
 jax.config.update("jax_default_matmul_precision", "highest")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 n_procs = int(os.environ.get("DISVAE_MH_NPROCS", "1"))
 if n_procs > 1:
-    jax.distributed.initialize(
+    # Through the production helper, NOT jax.distributed directly: this is
+    # the regression gate for initialize() touching the backend (e.g. via
+    # jax.process_count()) before jax.distributed.initialize can run —
+    # doing so makes every rank here crash with "must be called before any
+    # JAX calls that might initialise the XLA backend".
+    from disvae_tpu.parallel import distributed
+
+    distributed.initialize(
         coordinator_address=os.environ["DISVAE_MH_COORD"],
         num_processes=n_procs,
         process_id=int(os.environ["DISVAE_MH_PID"]))
     print("mh-worker: rank {}/{} up with {} local / {} global devices"
           .format(jax.process_index(), jax.process_count(),
                   jax.local_device_count(), jax.device_count()), flush=True)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from main import main, parse_arguments  # noqa: E402
 

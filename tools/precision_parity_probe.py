@@ -32,11 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+from bench import _progress  # noqa: E402  (repo root on sys.path above)
+
 CKPT = "/root/reference/results/VAE_mnist/model.pt"
-
-
-def _progress(msg):
-    print("# " + msg, file=sys.stderr, flush=True)
 
 
 def main(policy):

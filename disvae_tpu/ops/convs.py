@@ -104,6 +104,115 @@ def conv2d_transpose_packed(x, w, b):
     return y + b
 
 
+@jax.custom_vjp
+def conv2d_transpose_mxu(x, w, b):
+    """conv2d_transpose (k=4, s=2, p=1) with a hand-written XLA-op backward.
+
+    MEASURED AND REJECTED for the decoder's final layer (kept, like
+    conv2d_transpose_packed, as the correctness-tested record of the
+    attempt). The e2e profiler trace showed XLA's weight-grad conv for the
+    Cout<=3 final layer running at 4.5 TFLOP/s (177 us of the ~880 us b256
+    `default` step) — a [K=B*H*W, N=Cout<=3] contraction wastes 125/128 MXU
+    lanes — and this op reformulates the backward at the XLA-op level:
+
+    - dx as the exact adjoint: the plain stride-2 forward conv of dy with
+      the spatially flipped, I/O-swapped kernel.
+    - dW packing the 16 kernel taps into one [Cin, R] x [R, 16*Cout]
+      matmul (N grows 16x: 48 lanes for RGB vs 3).
+    - db = sum(dy).
+
+    On-chip verdict (benchmarks/convt3_bwd_ab.py + benchmarks/scaling.py,
+    2026-08-17, b256 `default`): the full train step REGRESSED 0.95 ->
+    1.855 ms. Two causes, both structural to XLA-level reformulation:
+    (1) the packed tap tensor (16*Cout*B*H*W) must round-trip HBM — XLA's
+    own fused backward shares the single dy read between dW and dx;
+    (2) the explicit adjoint conv for dx has Cin=3, which starves the MXU's
+    REDUCTION dim just as badly as N=3 starves its lanes (+380 us vs the
+    45 us fusion XLA emits from autodiff, where dx fuses with the upstream
+    relu mask). Beating fusion.455 requires VMEM-resident tap packing —
+    i.e. a Pallas kernel — not an op-graph rewrite. See
+    ops/pallas_kernels.py for that follow-up.
+
+    Original design notes:
+
+    - dx is the exact adjoint: the plain stride-2 forward conv of dy with
+      the spatially flipped, I/O-swapped kernel (reduction K = 16*Cout,
+      N = Cin — the shape XLA already handles well).
+    - dW packs the 16 kernel taps into one contraction: each tap's dy
+      factor is a (phase, +-1-shift) slice of dy (output stride 2 => dy
+      splits into 4 polyphase images), so stacking the 16 tap-slices as
+      channels turns the weight grad into ONE [Cin, R] x [R, 16*Cout]
+      matmul — N grows 16x (48 lanes for RGB vs 3).
+    - db = sum(dy) as usual.
+
+    Summation ORDER differs from XLA's gradient conv (float reassociation
+    only); under the `default` precision policy the contraction operands
+    are cast to bf16 up front — the same single-bf16-pass XLA itself uses —
+    so the packed tap tensor is materialized at half the bytes.
+
+    Worth it only when Cout is small: the tap tensor is 16*Cout*R elements,
+    so for the 32-channel decoder layers (already at ~46 TFLOP/s in XLA)
+    the 512-wide materialization would cost more HBM traffic than it saves.
+    """
+    return conv2d_transpose(x, w, b)
+
+
+def _ct_mxu_fwd(x, w, b):
+    return conv2d_transpose(x, w, b), (x, w)
+
+
+def _tap_shift(u):
+    """Forward-kernel row u -> (polyphase index, spatial shift) of dy.
+
+    dW[u] needs dy[2i+2-u]: u=0 -> even phase shifted +1, u=1 -> odd phase,
+    u=2 -> even phase, u=3 -> odd phase shifted -1."""
+    return u & 1, (+1 if u == 0 else (-1 if u == 3 else 0))
+
+
+def _ct_mxu_bwd(res, dy):
+    x, w = res
+    db = jnp.sum(dy, axis=(0, 1, 2))
+
+    # input grad: adjoint of the k4 s2 p1 transposed conv IS the k4 s2 p1
+    # forward conv with the flipped, in/out-swapped kernel
+    w_hat = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = lax.conv_general_dilated(
+        dy, w_hat, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN).astype(x.dtype)
+
+    # weight grad, phase-packed (see conv2d_transpose_mxu docstring)
+    lowp = jax.config.jax_default_matmul_precision in (None, "default",
+                                                       "bfloat16")
+    cdt = jnp.bfloat16 if lowp else dy.dtype
+    n, h2, w2, cout = dy.shape
+    h, wd = h2 // 2, w2 // 2
+    cin = x.shape[-1]
+    phases = dy.astype(cdt).reshape(n, h, 2, wd, 2, cout)
+
+    def tap(u, v):
+        (a, su), (bp, sv) = _tap_shift(u), _tap_shift(v)
+        img = phases[:, :, a, :, bp, :]
+        if su:
+            img = jnp.roll(img, -su, axis=1)
+            img = img.at[:, 0 if su < 0 else h - 1].set(0)
+        if sv:
+            img = jnp.roll(img, -sv, axis=2)
+            img = img.at[:, :, 0 if sv < 0 else wd - 1].set(0)
+        return img
+
+    taps = jnp.stack([tap(u, v) for u in range(4) for v in range(4)],
+                     axis=3)                      # (N, h, w, 16, Cout)
+    dw_flat = lax.dot_general(
+        x.astype(cdt).reshape(-1, cin), taps.reshape(-1, 16 * cout),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (Cin, 16*Cout)
+    dw = dw_flat.reshape(cin, 4, 4, cout).transpose(1, 2, 0, 3)
+    return dx, dw.astype(w.dtype), db.astype(w.dtype)
+
+
+conv2d_transpose_mxu.defvjp(_ct_mxu_fwd, _ct_mxu_bwd)
+
+
 def linear(x, p):
     """Dense layer; p = {'w': (in,out), 'b': (out,)}."""
     return x @ p["w"] + p["b"]

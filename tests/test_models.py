@@ -146,3 +146,64 @@ def test_packed_convT_matches_dilated():
         y1 = conv2d_transpose_packed(x, w, b)
         assert y0.shape == y1.shape == (2, 2 * h, 2 * h, cout)
         assert float(jnp.max(jnp.abs(y0 - y1))) < 1e-4
+
+
+def test_convT_mxu_custom_vjp_matches_xla_grads():
+    """conv2d_transpose_mxu's hand-written backward (polyphase-packed weight
+    grad + adjoint-conv input grad) equals XLA's autodiff of the dilated
+    conv2d_transpose up to f32 reassociation, for every (x, w, b) grad and
+    both decoder-final shapes (grayscale and RGB). Forward is the same code
+    path so it is bitwise identical by construction."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose, conv2d_transpose_mxu
+    rng = np.random.RandomState(1)
+    for h, cin, cout in [(16, 32, 1), (16, 32, 3), (4, 8, 5)]:
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        # random cotangent so every dy element (incl. boundary rows the
+        # tap shifts zero out) is exercised
+        t = jnp.asarray(rng.randn(2, 2 * h, 2 * h, cout).astype(np.float32))
+
+        def loss(op):
+            return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+        y0 = conv2d_transpose(x, w, b)
+        y1 = conv2d_transpose_mxu(x, w, b)
+        assert float(jnp.max(jnp.abs(y0 - y1))) == 0.0
+        g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+        g_mxu = jax.grad(loss(conv2d_transpose_mxu), argnums=(0, 1, 2))(x, w, b)
+        for gr, gm, name in zip(g_ref, g_mxu, "xwb"):
+            scale = float(jnp.max(jnp.abs(gr))) + 1e-30
+            err = float(jnp.max(jnp.abs(gr - gm))) / scale
+            assert err < 1e-5, (name, h, cin, cout, err)
+
+
+def test_convT_mxu_bf16_policy_grads_close():
+    """Under the `default` numeric policy the custom backward casts its
+    contraction operands to bf16 up front (one bf16 pass — the same pass
+    XLA's DEFAULT-precision gradient conv makes); grads must stay within
+    bf16 tolerance of the f32 reference."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose, conv2d_transpose_mxu
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss(op):
+        return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+    g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", None)
+    try:
+        g_mxu = jax.grad(loss(conv2d_transpose_mxu), argnums=(0, 1, 2))(
+            x, w, b)
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+    for gr, gm, name in zip(g_ref, g_mxu, "xwb"):
+        scale = float(jnp.max(jnp.abs(gr))) + 1e-30
+        err = float(jnp.max(jnp.abs(gr - gm))) / scale
+        assert err < 3e-2, (name, err)

@@ -248,9 +248,14 @@ def bench_mig_eval():
     import subprocess
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "mig_bench.py")
+    env = dict(os.environ)
+    # two in-process passes: pass 0 pays compiles + the tunnel's
+    # first-execution latency, pass 1 is the warm steady state (what sweeps
+    # and repeated evals pay) — both land in the JSON (_warm keys).
+    env.setdefault("MIG_BENCH_REPEAT", "2")
     try:
         out = subprocess.run([sys.executable, script], timeout=1800,
-                             capture_output=True, text=True)
+                             capture_output=True, text=True, env=env)
     except subprocess.TimeoutExpired:
         return None, "timeout"
     if out.returncode != 0:

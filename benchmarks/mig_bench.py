@@ -62,19 +62,26 @@ def main():
 
     _progress("MIG eval over {} images (encode + 1 marginal + 113 "
               "conditional entropies)...".format(len(ds)))
-    t0 = time.perf_counter()
-    metrics = ev.compute_metrics(loader)
-    total = time.perf_counter() - t0
-    t = ev.last_metrics_timings
-    _progress("done in {:.1f}s (encode {:.1f}s, entropies {:.1f}s)".format(
-        total, t["encode_seconds"], t["entropy_seconds"]))
-    print(json.dumps({
-        "mig_eval_seconds": round(total, 1),
-        "mig_encode_seconds": round(t["encode_seconds"], 1),
-        "mig_entropy_seconds": round(t["entropy_seconds"], 1),
-        "mig_eval_images": len(ds),
-        "mig_value_untrained": round(metrics["MIG"], 4),
-    }))
+    out = {}
+    # MIG_BENCH_REPEAT=2 runs the full metrics pass twice in-process: the
+    # first pass pays XLA compiles + the tunnel's first-execution latency
+    # for each per-factor program family; the second is the warm steady
+    # state (what a sweep/repeated eval pays). Both are reported.
+    for rep in range(int(os.environ.get("MIG_BENCH_REPEAT", "1"))):
+        t0 = time.perf_counter()
+        metrics = ev.compute_metrics(loader)
+        total = time.perf_counter() - t0
+        t = ev.last_metrics_timings
+        _progress("pass {}: {:.1f}s (encode {:.1f}s, entropies {:.1f}s)"
+                  .format(rep, total, t["encode_seconds"],
+                          t["entropy_seconds"]))
+        key = "" if rep == 0 else "_warm"
+        out["mig_eval_seconds" + key] = round(total, 1)
+        out["mig_encode_seconds" + key] = round(t["encode_seconds"], 1)
+        out["mig_entropy_seconds" + key] = round(t["entropy_seconds"], 1)
+    out["mig_eval_images"] = len(ds)
+    out["mig_value_untrained"] = round(metrics["MIG"], 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

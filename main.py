@@ -411,6 +411,10 @@ class _LocalDeviceGif:
         self._base.save_reset()
 
 
+def cli():
+    """Console-script entry point (`disvae-tpu-train`, pyproject.toml)."""
+    main(parse_arguments(sys.argv[1:]))
+
+
 if __name__ == '__main__':
-    args = parse_arguments(sys.argv[1:])
-    main(args)
+    cli()

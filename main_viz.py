@@ -110,5 +110,10 @@ def main(args):
             raise ValueError("Unrecognized plot_type={}".format(plot_type))
 
 
-if __name__ == '__main__':
+def cli():
+    """Console-script entry point (`disvae-tpu-viz`, pyproject.toml)."""
     main(parse_arguments(sys.argv[1:]))
+
+
+if __name__ == '__main__':
+    cli()

@@ -69,8 +69,9 @@ def _time(fn, *args):
 
 
 def main():
-    from disvae_tpu.ops.convs import (_ct_mxu_bwd, conv2d_transpose,
-                                      conv2d_transpose_mxu)
+    from disvae_tpu.ops.convs import (_ct_mxu_bwd, _ct_pc_bwd,
+                                      conv2d_transpose, conv2d_transpose_mxu,
+                                      conv2d_transpose_pc)
     from disvae_tpu.ops.precision import configure
     configure("default")
 
@@ -80,19 +81,39 @@ def main():
         results[key] = value
         print("#", key, "=", value, flush=True)
 
+    def progress(msg):
+        print("# ..." + msg, file=sys.stderr, flush=True)
+
     rng = np.random.RandomState(0)
+    progress("uploading operands")
     x = jax.device_put(rng.randn(256, 32, 32, 32).astype(np.float32))
     w = jax.device_put(rng.randn(4, 4, 32, 3).astype(np.float32))
     b = jax.device_put(rng.randn(3).astype(np.float32))
     t = jax.device_put(rng.randn(256, 64, 64, 3).astype(np.float32))
+    _ = np.asarray(b)  # force the uploads through before any compile
+    progress("operands resident")
 
     def full(op):
         def loss(x, w, b):
             return jnp.sum(op(x, w, b) * t)
         return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-    record("mxu_full_ms", round(_time(full(conv2d_transpose_mxu), x, w, b), 4))
+    # Baseline FIRST (known-good program family, warm in the compile
+    # cache): if even this stalls, the tunnel is sick and the run tells us
+    # nothing about the pc variant.
     record("xla_full_ms", round(_time(full(conv2d_transpose), x, w, b), 4))
+    # pl (fused Pallas dW+dx, ops/pallas_convt_bwd.py) and pc (phase-conv
+    # dW, autodiff-identical dx) vs the XLA baseline are the decision
+    # pairs.
+    from disvae_tpu.ops.pallas_convt_bwd import (conv2d_transpose_pl,
+                                                 convt3_bwd_pl)
+    record("pl_full_ms", round(_time(full(conv2d_transpose_pl), x, w, b), 4))
+    bwd_pl = jax.jit(lambda xx, ww, dy: convt3_bwd_pl(xx, ww, dy))
+    record("pl_bwd_all_ms", round(_time(bwd_pl, x, w, t), 4))
+    record("pc_full_ms", round(_time(full(conv2d_transpose_pc), x, w, b), 4))
+    bwd_pc = jax.jit(lambda xx, ww, dy: _ct_pc_bwd((xx, ww), dy)[1])
+    record("pc_dw_ms", round(_time(bwd_pc, x, w, t), 4))
+    record("mxu_full_ms", round(_time(full(conv2d_transpose_mxu), x, w, b), 4))
 
     def grad_wrt(op, argnum):
         def loss(x, w, b):

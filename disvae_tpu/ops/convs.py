@@ -213,6 +213,127 @@ def _ct_mxu_bwd(res, dy):
 conv2d_transpose_mxu.defvjp(_ct_mxu_fwd, _ct_mxu_bwd)
 
 
+@jax.custom_vjp
+def conv2d_transpose_pc(x, w, b):
+    """conv2d_transpose (k=4, s=2, p=1) with a phase-conv weight gradient.
+
+    Forward is bit-identical to conv2d_transpose. The backward targets the
+    same MXU pathology as conv2d_transpose_mxu (XLA's weight-grad conv for
+    the Cout<=3 final decoder layer runs at 4.5 TFLOP/s: N=Cout lanes,
+    3/4 of the dilated-x window multiplying structural zeros) but stays
+    entirely inside XLA's CONV machinery instead of hand-packing tap
+    matrices (which round-tripped HBM in narrow-lane layouts — the measured
+    failure of _mxu, see benchmarks/convt3_bwd_ab.py):
+
+    - dx and db are the EXACT primitives jax's autodiff emits (same
+      conv_general_dilated dimension numbers, paddings and strides — the
+      I/O swap lives in rhs_spec, no materialized kernel transpose), so
+      their compiled form and cost are identical to autodiff's.
+    - dW: dy is space-to-depth'd ONCE into dyq (N, H+1, W+1, 4*Cout) —
+      per spatial dim the even polyphase is zero-padded at the END and the
+      odd one at the START, aligning every kernel tap to one of just TWO
+      x-offsets. The weight grad is then a single batch-feature-swapped
+      grad-conv with a 2x2 window over the UNDILATED x producing
+      (2, 2, Cin, 4*Cout): zero wasted MACs and 4x the output lanes of the
+      autodiff form. A static transpose/reshape of the 1.5K-element result
+      recovers dW (4, 4, Cin, Cout).
+
+    Derivation (1-D): the dilated-correlation forward gives
+    y[2i+2-u] += x[i]*w[u], so dW[u] = sum_i x[i]*dy[2i+2-u]. With the
+    length-(H+1) aligned phases dyq0[j] = dy[2j] and dyq1[j] = dy[2j-1]
+    (out-of-range rows are the zero pads):
+    u=0: sum_j x[j-1]*dyq0[j];  u=1: sum_j x[j-1]*dyq1[j];
+    u=2: sum_j x[j]  *dyq0[j];  u=3: sum_j x[j]  *dyq1[j]
+    i.e. x-offset = u>>1 (conv padding (1,1), window H+1, 2 output
+    positions) and phase = u&1 — the (2,2,Ci,2,2,Co) grad-conv output
+    indexes as dW[u,v] = dK[u>>1, v>>1, ci, u&1, v&1, co].
+    """
+    return conv2d_transpose(x, w, b)
+
+
+def _ct_pc_fwd(x, w, b):
+    return conv2d_transpose(x, w, b), (x, w)
+
+
+def _ct_pc_bwd(res, dy):
+    x, w = res
+    db = jnp.sum(dy, axis=(0, 1, 2)).astype(w.dtype)
+
+    # dx: jax's own transpose-conv input grad, verbatim (I/O swap via
+    # dimension numbers; kernel only spatially reversed)
+    dn_dx = lax.ConvDimensionNumbers(lhs_spec=(0, 3, 1, 2),
+                                     rhs_spec=(2, 3, 0, 1),
+                                     out_spec=(0, 3, 1, 2))
+    dx = lax.conv_general_dilated(
+        dy, w[::-1, ::-1], window_strides=(2, 2),
+        padding=((1, 1), (1, 1)), dimension_numbers=dn_dx).astype(x.dtype)
+
+    lowp = jax.config.jax_default_matmul_precision in (None, "default",
+                                                       "bfloat16")
+    if not lowp:
+        # parity policies (highest/high): emit the exact dW primitive
+        # autodiff would — bit-identical results, identical compiled cost.
+        # The phase-conv dW below reorders the summation (fine under the
+        # fast policy, which is already reassociating into bf16 passes).
+        dn_w = lax.ConvDimensionNumbers(lhs_spec=(3, 0, 1, 2),
+                                        rhs_spec=(3, 0, 1, 2),
+                                        out_spec=(2, 3, 0, 1))
+        dw = lax.conv_general_dilated(
+            x, dy, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=dn_w)
+        return dx, dw.astype(w.dtype), db
+
+    dw = _phase_conv_dw(x, dy, jnp.bfloat16)
+    return dx, dw.astype(w.dtype), db
+
+
+def aligned_phase_s2d(dy, cdt):
+    """Aligned polyphase (space-to-depth) decomposition of a stride-2
+    output gradient: (N, 2H, 2W, C) -> (N, H+1, W+1, 4C) with
+    out[n, i, j, (pi*2 + pj)*C + c] = dy[n, 2i - pi, 2j - pj, c] (zero out
+    of range). Every k4s2p1 transposed-conv gradient tap aligns to one of
+    two offsets of these phases — the shared substrate of the phase-conv
+    backward (conv2d_transpose_pc) and the Pallas fused backward
+    (ops/pallas_convt_bwd.py)."""
+    n, h2, w2, cout = dy.shape
+    h, wd = h2 // 2, w2 // 2
+    ph = dy.astype(cdt).reshape(n, h, 2, wd, 2, cout)
+    # aligned length-(h+1) phases: even padded at the end (dyq0[h] =
+    # dy[2h] = 0), odd at the start (dyq1[0] = dy[-1] = 0)
+    p0 = jnp.pad(ph[:, :, 0], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    p1 = jnp.pad(ph[:, :, 1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    ph = jnp.stack([p0, p1], axis=2)          # (n, h+1, 2, wd, 2, cout)
+    q0 = jnp.pad(ph[..., 0, :], ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+    q1 = jnp.pad(ph[..., 1, :], ((0, 0), (0, 0), (0, 0), (1, 0), (0, 0)))
+    ph = jnp.stack([q0, q1], axis=4)          # (n, h+1, 2, wd+1, 2, cout)
+    return ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, h + 1, wd + 1,
+                                                  4 * cout)
+
+
+def _phase_conv_dw(x, dy, cdt):
+    """dW of the k4 s2 p1 transposed conv via the phase-conv formulation
+    (see conv2d_transpose_pc): one s2d+pad copy of dy, then a 2x2-window
+    batch-feature-swapped conv over the undilated x. `cdt` is the
+    contraction operand dtype (bf16 on the fast path; f32 in tests)."""
+    cin = x.shape[-1]
+    cout = dy.shape[-1]
+    dyq = aligned_phase_s2d(dy, cdt)
+
+    dn_dw = lax.ConvDimensionNumbers(lhs_spec=(3, 0, 1, 2),
+                                     rhs_spec=(3, 0, 1, 2),
+                                     out_spec=(2, 3, 0, 1))
+    dk = lax.conv_general_dilated(
+        x.astype(cdt), dyq, window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=dn_dw,
+        preferred_element_type=jnp.float32)       # (2, 2, Cin, 4*Cout)
+    return (dk.reshape(2, 2, cin, 2, 2, cout)
+              .transpose(0, 3, 1, 4, 2, 5)        # (du, a, dv, b, ci, co)
+              .reshape(4, 4, cin, cout))
+
+
+conv2d_transpose_pc.defvjp(_ct_pc_fwd, _ct_pc_bwd)
+
+
 def linear(x, p):
     """Dense layer; p = {'w': (in,out), 'b': (out,)}."""
     return x @ p["w"] + p["b"]

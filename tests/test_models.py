@@ -179,6 +179,164 @@ def test_convT_mxu_custom_vjp_matches_xla_grads():
             assert err < 1e-5, (name, h, cin, cout, err)
 
 
+def test_convT_pc_phase_conv_dw_exact():
+    """_phase_conv_dw (space-to-depth'd dy + 2x2-window grad-conv, the
+    phase-conv weight-grad formulation behind conv2d_transpose_pc) run in
+    f32 equals XLA's autodiff dW to f32-reassociation tolerance on every
+    decoder-final shape, including odd Cout and tiny spatial dims."""
+    import numpy as np
+    from disvae_tpu.ops.convs import _phase_conv_dw, conv2d_transpose
+    rng = np.random.RandomState(3)
+    for h, cin, cout in [(16, 32, 1), (16, 32, 3), (4, 8, 5), (2, 2, 2)]:
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        t = jnp.asarray(rng.randn(2, 2 * h, 2 * h, cout).astype(np.float32))
+        g_ref = jax.grad(
+            lambda x, w, b: jnp.sum(conv2d_transpose(x, w, b) * t),
+            argnums=1)(x, w, b)
+        g_pc = _phase_conv_dw(x, t, jnp.float32)
+        scale = float(jnp.max(jnp.abs(g_ref))) + 1e-30
+        err = float(jnp.max(jnp.abs(g_ref - g_pc))) / scale
+        assert err < 1e-5, (h, cin, cout, err)
+
+
+def test_convT_pc_parity_policy_grads_identical():
+    """Under parity policies (tests run at `highest`) conv2d_transpose_pc's
+    backward emits the EXACT primitives jax's autodiff emits — all three
+    grads must match the autodiff reference bitwise."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose, conv2d_transpose_pc
+    rng = np.random.RandomState(4)
+    for h, cin, cout in [(16, 32, 1), (16, 32, 3), (4, 8, 5)]:
+        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        t = jnp.asarray(rng.randn(2, 2 * h, 2 * h, cout).astype(np.float32))
+
+        def loss(op):
+            return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+        assert float(jnp.max(jnp.abs(
+            conv2d_transpose(x, w, b) - conv2d_transpose_pc(x, w, b)))) == 0.0
+        g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+        g_pc = jax.grad(loss(conv2d_transpose_pc), argnums=(0, 1, 2))(x, w, b)
+        for gr, gp, name in zip(g_ref, g_pc, "xwb"):
+            assert float(jnp.max(jnp.abs(gr - gp))) == 0.0, (name, h, cout)
+
+
+def test_convT_pc_bf16_policy_grads_close():
+    """Under the `default` numeric policy conv2d_transpose_pc's dW runs the
+    phase-conv formulation with bf16 contraction operands (same pass count
+    as XLA's DEFAULT-precision grad conv); grads must stay within bf16
+    tolerance of the f32 autodiff reference."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose, conv2d_transpose_pc
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss(op):
+        return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+    g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", None)
+    try:
+        g_pc = jax.grad(loss(conv2d_transpose_pc), argnums=(0, 1, 2))(
+            x, w, b)
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+    for gr, gp, name in zip(g_ref, g_pc, "xwb"):
+        scale = float(jnp.max(jnp.abs(gr))) + 1e-30
+        err = float(jnp.max(jnp.abs(gr - gp))) / scale
+        assert err < 3e-2, (name, err)
+
+
+def test_convT_pallas_bwd_exact_f32():
+    """The fused Pallas backward (ops/pallas_convt_bwd.py) run on the CPU
+    interpreter with f32 contraction equals autodiff's (dx, dw, db) to f32
+    tolerance on every decoder-final shape, including odd Cout, tiny
+    spatial dims, and batch sizes exercising the block-size fallbacks
+    (6 -> bn=2, 3 -> bn=1)."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose
+    from disvae_tpu.ops.pallas_convt_bwd import convt3_bwd_pl
+    rng = np.random.RandomState(6)
+    for n, h, cin, cout in [(4, 16, 32, 3), (4, 16, 32, 1), (6, 4, 8, 5),
+                            (3, 2, 2, 2)]:
+        x = jnp.asarray(rng.randn(n, h, h, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        t = jnp.asarray(rng.randn(n, 2 * h, 2 * h, cout).astype(np.float32))
+        g = jax.grad(lambda x, w, b: jnp.sum(conv2d_transpose(x, w, b) * t),
+                     argnums=(0, 1, 2))(x, w, b)
+        out = convt3_bwd_pl(x, w, t, interpret=True, cdt=jnp.float32)
+        for ref, got, name in zip(g, out, ("dx", "dw", "db")):
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+            err = float(jnp.max(jnp.abs(ref - got))) / scale
+            assert err < 1e-5, (n, h, cin, cout, name, err)
+
+
+def test_convT_pallas_parity_policy_grads_identical():
+    """Under parity policies (tests run at `highest`) conv2d_transpose_pl's
+    backward emits the EXACT primitives jax's autodiff emits — all three
+    grads must match the autodiff reference bitwise."""
+    import numpy as np
+    from disvae_tpu.ops.convs import conv2d_transpose
+    from disvae_tpu.ops.pallas_convt_bwd import conv2d_transpose_pl
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss(op):
+        return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+    assert float(jnp.max(jnp.abs(
+        conv2d_transpose(x, w, b) - conv2d_transpose_pl(x, w, b)))) == 0.0
+    g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+    g_pl = jax.grad(loss(conv2d_transpose_pl), argnums=(0, 1, 2))(x, w, b)
+    for gr, gp, name in zip(g_ref, g_pl, "xwb"):
+        assert float(jnp.max(jnp.abs(gr - gp))) == 0.0, name
+
+
+def test_convT_pallas_bf16_policy_grads_close():
+    """Under the `default` numeric policy conv2d_transpose_pl's backward
+    runs the fused Pallas kernels with bf16 contraction operands (CPU:
+    interpreter mode via the module flag); grads must stay within bf16
+    tolerance of the f32 autodiff reference."""
+    import numpy as np
+    from disvae_tpu.ops import pallas_convt_bwd as pcb
+    from disvae_tpu.ops.convs import conv2d_transpose
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 32, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+
+    def loss(op):
+        return lambda x, w, b: jnp.sum(op(x, w, b) * t)
+
+    g_ref = jax.grad(loss(conv2d_transpose), argnums=(0, 1, 2))(x, w, b)
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", None)
+    pcb._INTERPRET = True
+    try:
+        g_pl = jax.grad(loss(pcb.conv2d_transpose_pl),
+                        argnums=(0, 1, 2))(x, w, b)
+    finally:
+        pcb._INTERPRET = False
+        jax.config.update("jax_default_matmul_precision", old)
+    for gr, gp, name in zip(g_ref, g_pl, "xwb"):
+        scale = float(jnp.max(jnp.abs(gr))) + 1e-30
+        err = float(jnp.max(jnp.abs(gr - gp))) / scale
+        assert err < 3e-2, (name, err)
+
+
 def test_convT_mxu_bf16_policy_grads_close():
     """Under the `default` numeric policy the custom backward casts its
     contraction operands to bf16 up front (one bf16 pass — the same pass

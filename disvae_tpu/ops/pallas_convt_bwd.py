@@ -117,7 +117,10 @@ def convt3_bwd_pl(x, w, dy, interpret=False, cdt=jnp.bfloat16):
     n, h, wd, cin = x.shape
     cout = dy.shape[-1]
     bn = _block_batch(n)
-    jq = wd + 1 + (-(wd + 1)) % 8         # j padded to a sublane multiple
+    # j padded to a bf16 sublane-tile multiple (16) so the in-kernel
+    # row-merge reshape (BN, H+1, Jq, L) -> (BN*(H+1)*Jq, L) stays
+    # tile-aligned for both contraction dtypes
+    jq = wd + 1 + (-(wd + 1)) % 16
 
     q = aligned_phase_s2d(dy, cdt)                      # (N, H+1, W+1, 4Co)
     q = jnp.pad(q, ((0, 0), (0, 0), (0, jq - (wd + 1)), (0, 0)))

@@ -267,7 +267,41 @@ def bench_mig_eval():
     return None, "no JSON line in output"
 
 
+def _tunnel_up(timeout_s=600):
+    """Probe the TPU backend in a SUBPROCESS with a hard timeout. The axon
+    relay has been observed down for hours (backend init blocks 30-40 min
+    then raises Unavailable — verify skill); without this guard the bench
+    would hang the driver instead of reporting."""
+    import subprocess
+    code = ("import numpy as np, jax\n"
+            "x = jax.device_put(np.ones(8, np.float32))\n"
+            "print('tunnel-ok', np.asarray(x)[0])\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                             capture_output=True, text=True,
+                             env=dict(os.environ))
+    except subprocess.TimeoutExpired:
+        return False, "probe timed out after {}s".format(timeout_s)
+    if out.returncode == 0 and "tunnel-ok" in out.stdout:
+        return True, None
+    return False, (out.stderr or out.stdout)[-200:].replace("\n", " | ")
+
+
 def main():
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        _progress("probing the TPU tunnel (subprocess, 10-min cap)...")
+        up, why = _tunnel_up(int(os.environ.get("BENCH_PROBE_TIMEOUT",
+                                                "600")))
+        if not up:
+            _progress("tunnel DOWN: {}".format(why))
+            print(json.dumps({
+                "metric": "train_images_per_sec_btcvae_celeba_b256_1chip_e2e",
+                "value": None, "unit": "images/sec", "vs_baseline": None,
+                "error": "TPU backend unavailable (axon relay outage): "
+                         + str(why),
+            }))
+            return
+        _progress("tunnel ok")
     mig = mig_err = None
     if os.environ.get("BENCH_METRICS", "1") != "0":
         _progress("MIG-eval wall-clock bench (subprocess, runs first "

@@ -302,6 +302,12 @@ def main():
             }))
             return
         _progress("tunnel ok")
+        # Cooldown before the next TPU process (verify skill: >=5 min
+        # between consecutive processes; the probe was trivial — 8 floats,
+        # no heavy program — so a shorter gap suffices).
+        probe_cool = int(os.environ.get("BENCH_PROBE_COOLDOWN_S", "120"))
+        _progress("post-probe cooldown {}s...".format(probe_cool))
+        time.sleep(probe_cool)
     mig = mig_err = None
     if os.environ.get("BENCH_METRICS", "1") != "0":
         _progress("MIG-eval wall-clock bench (subprocess, runs first "

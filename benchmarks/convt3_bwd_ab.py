@@ -11,11 +11,21 @@ Variants (all at the decoder-final shape: b256, 32x32x32 -> 64x64x3, f32
 activations, `default` numeric policy — the headline path):
 
   xla_full   - d(x,w,b) by autodiff through conv2d_transpose (baseline)
+  pl_full    - d(x,w,b) through conv2d_transpose_pl: fused Pallas dW+dx
+               kernels (ops/pallas_convt_bwd.py); pl_bwd_all isolates the
+               backward itself
+  pc_full    - d(x,w,b) through conv2d_transpose_pc: phase-conv dW,
+               autodiff-identical dx (ops/convs.py); pc_dw isolates dW
   mxu_full   - d(x,w,b) through conv2d_transpose_mxu's hand-written vjp
   xla_dw     - dW alone via autodiff
   mxu_dw     - dW alone via the polyphase tap-pack + single dot_general
   xla_dx     - dx alone via autodiff (XLA's gradient conv)
   mxu_dx     - dx alone via the explicit stride-2 adjoint conv
+
+PENDING: pl_*/pc_* have NOT run on the chip yet — the axon relay went
+down 2026-08-17 evening (verify skill, relay-outage note) before any
+attempt completed. Until their rows appear under MEASURED below, the
+verdict stands and neither variant is wired into the decoder.
 
 Run: `python benchmarks/convt3_bwd_ab.py` (single chip, one process; small
 programs, compiles are seconds each). Prints `# key = value` lines plus one

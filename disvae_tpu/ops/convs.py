@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from disvae_tpu.ops.precision import fast_matmul_policy
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
@@ -181,9 +183,7 @@ def _ct_mxu_bwd(res, dy):
         dimension_numbers=_DN).astype(x.dtype)
 
     # weight grad, phase-packed (see conv2d_transpose_mxu docstring)
-    lowp = jax.config.jax_default_matmul_precision in (None, "default",
-                                                       "bfloat16")
-    cdt = jnp.bfloat16 if lowp else dy.dtype
+    cdt = jnp.bfloat16 if fast_matmul_policy() else dy.dtype
     n, h2, w2, cout = dy.shape
     h, wd = h2 // 2, w2 // 2
     cin = x.shape[-1]
@@ -268,9 +268,7 @@ def _ct_pc_bwd(res, dy):
         dy, w[::-1, ::-1], window_strides=(2, 2),
         padding=((1, 1), (1, 1)), dimension_numbers=dn_dx).astype(x.dtype)
 
-    lowp = jax.config.jax_default_matmul_precision in (None, "default",
-                                                       "bfloat16")
-    if not lowp:
+    if not fast_matmul_policy():
         # parity policies (highest/high): emit the exact dW primitive
         # autodiff would — bit-identical results, identical compiled cost.
         # The phase-conv dW below reorders the summation (fine under the

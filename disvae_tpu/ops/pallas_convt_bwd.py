@@ -50,7 +50,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from disvae_tpu.ops.convs import aligned_phase_s2d, conv2d_transpose
+from disvae_tpu.ops.convs import (_ct_pc_bwd, aligned_phase_s2d,
+                                  conv2d_transpose)
+from disvae_tpu.ops.precision import fast_matmul_policy
 
 # Batch rows per grid step. At BN=4, Cin=32, H=W=32 the per-step VMEM
 # footprint is ~8 MB including double buffering — inside the ~16 MB core.
@@ -187,25 +189,11 @@ def _ct_pl_fwd(x, w, b):
 
 def _ct_pl_bwd(res, dy):
     x, w = res
-    lowp = jax.config.jax_default_matmul_precision in (None, "default",
-                                                       "bfloat16")
-    if not lowp:
-        # exact autodiff primitives (same as conv2d_transpose_pc's parity
-        # branch): bit-identical grads, identical compiled cost
-        db = jnp.sum(dy, axis=(0, 1, 2)).astype(w.dtype)
-        dn_dx = lax.ConvDimensionNumbers(lhs_spec=(0, 3, 1, 2),
-                                         rhs_spec=(2, 3, 0, 1),
-                                         out_spec=(0, 3, 1, 2))
-        dx = lax.conv_general_dilated(
-            dy, w[::-1, ::-1], window_strides=(2, 2),
-            padding=((1, 1), (1, 1)), dimension_numbers=dn_dx).astype(x.dtype)
-        dn_w = lax.ConvDimensionNumbers(lhs_spec=(3, 0, 1, 2),
-                                        rhs_spec=(3, 0, 1, 2),
-                                        out_spec=(2, 3, 0, 1))
-        dw = lax.conv_general_dilated(
-            x, dy, window_strides=(1, 1), padding=((2, 2), (2, 2)),
-            lhs_dilation=(2, 2), dimension_numbers=dn_w)
-        return dx, dw.astype(w.dtype), db
+    if not fast_matmul_policy():
+        # exact autodiff primitives: delegate to conv2d_transpose_pc's
+        # parity branch (ONE definition of the bit-identical dimension
+        # numbers), which takes this same branch under parity policies.
+        return _ct_pc_bwd(res, dy)
     return convt3_bwd_pl(x, w, dy, interpret=_INTERPRET)
 
 

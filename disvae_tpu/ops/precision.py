@@ -18,3 +18,13 @@ def configure(precision="highest"):
             precision, PRECISIONS))
     jax.config.update("jax_default_matmul_precision",
                       None if precision == "default" else precision)
+
+
+def fast_matmul_policy():
+    """True when the ambient policy runs bf16 MXU passes (the TPU
+    production-throughput configuration). Custom backward passes key off
+    this at TRACE time: fast-policy formulations may reassociate into bf16
+    contractions; parity policies (highest/high) must emit the exact
+    autodiff primitives."""
+    return jax.config.jax_default_matmul_precision in (None, "default",
+                                                       "bfloat16")

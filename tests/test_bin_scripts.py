@@ -32,8 +32,8 @@ def _cli_invocations(script):
 
 
 def test_every_cli_invocation_parses():
-    import main as main_mod
-    import main_viz as viz_mod
+    from disvae_tpu import cli as main_mod
+    from disvae_tpu import cli_viz as viz_mod
 
     seen_train = seen_viz = 0
     for script in SCRIPTS:

@@ -15,8 +15,8 @@ def test_main_viz_cli_all_plots(tmp_path, monkeypatch):
     from disvae_tpu.data import datasets as D
     from disvae_tpu.models.vae import init_specific_model
     from disvae_tpu.utils.modelIO import save_model, save_metadata
-    import main as main_mod
-    import main_viz
+    from disvae_tpu import cli as main_mod
+    from disvae_tpu import cli_viz as main_viz
 
     # fabricate the mnist cache in an isolated DATA_ROOT
     root = tmp_path / "data" / "mnist"
@@ -61,7 +61,7 @@ def test_main_cli_trains_data_parallel_on_mesh(tmp_path, monkeypatch):
     set."""
     import csv
     from disvae_tpu.data import datasets as D
-    import main as main_mod
+    from disvae_tpu import cli as main_mod
 
     root = tmp_path / "data" / "mnist"
     os.makedirs(root)
@@ -94,7 +94,7 @@ def test_main_cli_no_viz_gif(tmp_path, monkeypatch):
     pipelined epoch path stays engaged) while every other artifact is still
     written."""
     from disvae_tpu.data import datasets as D
-    import main as main_mod
+    from disvae_tpu import cli as main_mod
 
     root = tmp_path / "data" / "mnist"
     os.makedirs(root)

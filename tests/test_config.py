@@ -2,7 +2,7 @@
 
 import pytest
 
-from main import parse_arguments
+from disvae_tpu.cli import parse_arguments
 from disvae_tpu.utils.helpers import get_config_section
 
 CONFIG = "hyperparam.ini"

@@ -44,6 +44,15 @@ def test_dependencies_are_importable(pyproject):
         importlib.import_module(mod_for.get(dep, dep))
 
 
+def test_requirements_txt_matches_pyproject(pyproject):
+    """requirements.txt mirrors pyproject's canonical dependency list; this
+    gate keeps the two from drifting."""
+    with open(os.path.join(REPO, "requirements.txt")) as f:
+        reqs = [line.strip() for line in f
+                if line.strip() and not line.startswith("#")]
+    assert reqs == pyproject["project"]["dependencies"]
+
+
 def test_native_source_ships_as_package_data(pyproject):
     data = pyproject["tool"]["setuptools"]["package-data"]
     assert "*.cpp" in data["disvae_tpu.native"]

@@ -54,7 +54,7 @@ if n_procs > 1:
           .format(jax.process_index(), jax.process_count(),
                   jax.local_device_count(), jax.device_count()), flush=True)
 
-from main import main, parse_arguments  # noqa: E402
+from disvae_tpu.cli import main, parse_arguments  # noqa: E402
 
 if __name__ == "__main__":
     main(parse_arguments(sys.argv[1:]))

@@ -44,6 +44,20 @@ def measure(batch, policy):
                                         stack_metrics)
 
     configure("default" if policy == "bf16" else policy)
+    # Final-convT backward A/B (benchmarks/convt3_bwd_ab.py): swap the
+    # implementation for the whole step measurement. One impl per process.
+    impl = os.environ.get("DISVAE_CONVT3", "xla")
+    if impl != "xla":
+        from disvae_tpu.models import burgess
+        if impl == "pc":
+            from disvae_tpu.ops.convs import conv2d_transpose_pc as fn
+        elif impl == "pl":
+            from disvae_tpu.ops.pallas_convt_bwd import (
+                conv2d_transpose_pl as fn)
+        else:
+            raise ValueError("DISVAE_CONVT3 must be xla|pc|pl, got "
+                             + impl)
+        burgess.set_final_convt_impl(fn)
     compute_dtype = "bfloat16" if policy == "bf16" else "float32"
     model, params = init_specific_model("Burgess", (3, 64, 64), 10,
                                         key=jax.random.PRNGKey(0),
@@ -76,7 +90,7 @@ def measure(batch, policy):
     fetch(metrics)
     dt = time.perf_counter() - t0
     n_img = batch * K * SUPERSTEPS
-    return {"batch": batch, "policy": policy,
+    return {"batch": batch, "policy": policy, "convt3_impl": impl,
             "images_per_sec": round(n_img / dt, 1),
             "step_ms": round(1e3 * dt / (K * SUPERSTEPS), 3)}
 

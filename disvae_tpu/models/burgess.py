@@ -109,6 +109,22 @@ def init_decoder(key, img_size, latent_dim, dtype=jnp.float32):
     return params
 
 
+# Implementation hook for the FINAL transposed conv only (Cout = n_chan
+# <= 3 — the step's worst MXU-starved backward; see
+# benchmarks/convt3_bwd_ab.py). Forward output is bit-identical across
+# implementations and parity policies keep autodiff's exact backward, so
+# swapping is a pure fast-policy-throughput decision. Swap BEFORE tracing
+# (jit caches the traced callee); one implementation per process.
+_convT_final = conv2d_transpose
+
+
+def set_final_convt_impl(fn):
+    """A/B hook: replace the final decoder convT implementation (e.g. with
+    ops.pallas_convt_bwd.conv2d_transpose_pl). Call before any jit trace."""
+    global _convT_final
+    _convT_final = fn
+
+
 def apply_decoder(params, z, compute_dtype=None):
     """Decode latents. z: (N, latent_dim). Returns (N, H, W, C) in (0, 1),
     float32 (the sigmoid and the reconstruction loss stay full precision)."""
@@ -128,7 +144,7 @@ def apply_decoder(params, z, compute_dtype=None):
                                      params["convT1"]["b"]))
     h = jax.nn.relu(conv2d_transpose(h, params["convT2"]["w"],
                                      params["convT2"]["b"]))
-    h = jax.nn.sigmoid(conv2d_transpose(h, params["convT3"]["w"],
-                                        params["convT3"]["b"])
+    h = jax.nn.sigmoid(_convT_final(h, params["convT3"]["w"],
+                                    params["convT3"]["b"])
                        .astype(jnp.float32))
     return h

@@ -751,3 +751,41 @@ def test_traced_coefs_one_program_serves_all_values():
     step_for_1(fresh_state(cfg1), batch)
     if hasattr(step_for_1, "_cache_size"):
         assert step_for_1._cache_size() == 1
+
+
+@pytest.mark.parametrize("impl", ["pc", "pl"])
+def test_final_convt_hook_step_bitexact_under_parity(impl):
+    """Swapping the final decoder convT via burgess.set_final_convt_impl
+    (the benchmarks/scaling.py DISVAE_CONVT3 A/B hook) must leave a full
+    btcvae train step BITWISE identical under the parity policy — both
+    custom ops emit autodiff's exact primitives there."""
+    from disvae_tpu.models import burgess
+    from disvae_tpu.ops import pallas_convt_bwd as pcb
+    from disvae_tpu.ops.convs import conv2d_transpose_pc
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import make_optimizer, make_train_step
+
+    cfg = L.BtcvaeLoss(n_data=96, alpha=1, beta=6, gamma=1, steps_anneal=0)
+    opt = make_optimizer(1e-3)
+    batch = jax.numpy.asarray(
+        np.random.RandomState(1).rand(16, 32, 32, 1).astype(np.float32))
+
+    def run():
+        model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                            key=jax.random.PRNGKey(0))
+        state = create_train_state(model, params, opt, jax.random.PRNGKey(1))
+        step = make_train_step(model, cfg, opt, donate=False)
+        s, m = step(state, batch)
+        return s, {k: float(v) for k, v in m.items()}
+
+    s_ref, m_ref = run()
+    fn = conv2d_transpose_pc if impl == "pc" else pcb.conv2d_transpose_pl
+    burgess.set_final_convt_impl(fn)
+    try:
+        s_got, m_got = run()
+    finally:
+        burgess.set_final_convt_impl(burgess.conv2d_transpose)
+    assert m_got == m_ref
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_got.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -198,6 +198,13 @@ def parse_arguments(args_to_parse):
                                  'reproducing the reference estimator\'s '
                                  'sample-scrambling quirk (which dilutes '
                                  'MIG by more than 10x).')
+    evaluation.add_argument('--fast-metrics', action='store_true',
+                            default=False,
+                            help='Estimate MIG/AAM entropies with the bf16 '
+                                 'MXU kernel (~2.4x faster than the exact '
+                                 'streaming scan, ~2e-2 log-density error) '
+                                 '— for exploratory sweeps, not parity '
+                                 'comparisons.')
 
     args = parser.parse_args(args_to_parse)
     if args.experiment != 'custom':
@@ -389,7 +396,8 @@ def main(args):
                               save_dir=exp_dir,
                               is_progress_bar=not args.no_progress_bar,
                               mesh=eval_mesh,
-                              scramble_quirk=not args.corrected_mig)
+                              scramble_quirk=not args.corrected_mig,
+                              fast_entropies=args.fast_metrics)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)
 

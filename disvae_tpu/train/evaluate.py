@@ -69,8 +69,14 @@ class Evaluator:
                  is_progress_bar=True,
                  mesh=None,
                  scramble_quirk=True,
-                 metrics_seed=None):
+                 metrics_seed=None,
+                 fast_entropies=False):
         self.model = model
+        # Opt-in bf16 MXU entropy estimator (ops/pallas_kernels.log_qz_mxu,
+        # measured ~2.4x the streaming scan with ~2e-2 absolute log-density
+        # error): fine for exploratory sweeps, NOT for the MIG +-0.01
+        # parity gate. CLI: --fast-metrics.
+        self.fast_entropies = fast_entropies
         # Parity mode (default) reproduces the reference's (S, D) -> (D, S)
         # row-major reshape of the entropy samples (evaluate.py:270), which
         # evaluates most samples under the WRONG dimension's marginal and
@@ -347,9 +353,10 @@ class Evaluator:
         mu, logvar = self._replicate(mu), self._replicate(logvar)
         log_M = math.log(M)
         H = np.zeros(D, np.float64)
+        log_qz_f = _log_qz_fast if self.fast_entropies else _streaming_log_qz
         for s0 in range(0, S, _SAMPLE_CHUNK):
             v = self._shard_samples(values[:, s0:s0 + _SAMPLE_CHUNK])
-            log_qz = _streaming_log_qz(v, mu, logvar)  # (D, s_chunk)
+            log_qz = log_qz_f(v, mu, logvar)  # (D, s_chunk)
             H += np.asarray(jnp.sum(log_M - log_qz, axis=1), np.float64)
         return H / S
 
@@ -402,9 +409,10 @@ class Evaluator:
         # the in-flight brick is (L, comp_chunk, D, sample_chunk) — scale the
         # component chunk down with L to keep it HBM-friendly
         comp_chunk = max(256, _COMP_CHUNK // L)
-        vmapped = jax.vmap(
-            partial(_streaming_log_qz, comp_chunk=comp_chunk),
-            in_axes=(0, 0, 0))
+        log_qz_f = (partial(_log_qz_fast, chunk=comp_chunk)
+                    if self.fast_entropies
+                    else partial(_streaming_log_qz, comp_chunk=comp_chunk))
+        vmapped = jax.vmap(log_qz_f, in_axes=(0, 0, 0))
         for s0 in range(0, S, _SAMPLE_CHUNK):
             v = self._shard_samples(values[:, :, s0:s0 + _SAMPLE_CHUNK])
             log_qz = vmapped(v, mu, logvar)  # (L, D, s_chunk)
@@ -451,3 +459,14 @@ def _streaming_log_qz(values, mu, logvar, comp_chunk=_COMP_CHUNK):
     init = (jnp.full((D, S), -jnp.inf), jnp.zeros((D, S)))
     (run_max, run_sum), _ = jax.lax.scan(body, init, (mu_c, lv_c, mask_c))
     return jnp.log(run_sum) + run_max
+
+
+def _log_qz_fast(values, mu, logvar, chunk=8192):
+    """Opt-in bf16 MXU estimator (Evaluator(fast_entropies=True) /
+    `--fast-metrics`): same (D, S) contract as _streaming_log_qz, computed
+    by ops.pallas_kernels.log_qz_mxu — the Gaussian log-density as a
+    batched quadratic-feature matmul, ~2.4x the streaming scan on chip at
+    ~2e-2 absolute log-density error (fine for exploratory sweeps, not the
+    MIG +-0.01 parity gate)."""
+    from disvae_tpu.ops.pallas_kernels import log_qz_mxu
+    return log_qz_mxu(values, mu, logvar, chunk=chunk)

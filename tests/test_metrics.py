@@ -369,3 +369,34 @@ def test_sharded_metrics_pipeline_matches_single_device(tmp_path):
     m8 = run(create_mesh(), 5)
     assert m1["MIG"] == pytest.approx(m8["MIG"], abs=1e-4)
     assert m1["AAM"] == pytest.approx(m8["AAM"], abs=1e-4)
+
+
+def test_fast_entropies_matches_streaming_on_cpu(tmp_path):
+    """Evaluator(fast_entropies=True) — the --fast-metrics MXU-polynomial
+    estimator — must agree with the exact streaming scan on CPU, where
+    dot precision is f32 regardless of the `prec` knob (the on-chip bf16
+    error budget is documented in ops/pallas_kernels.py)."""
+    lat_sizes = [4, 6]
+    N = 24
+    ds = ArrayDataset(np.zeros((N, 32, 32, 1), np.uint8),
+                      lat_sizes=lat_sizes, lat_names=("A", "B"))
+    loader = DataLoader(ds, batch_size=8, shuffle=False)
+    rng = np.random.RandomState(3)
+    mu = rng.randn(N, 4).astype(np.float32)
+    logvar = np.full_like(mu, np.log(0.3 ** 2))
+
+    def run(fast):
+        model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                            key=jax.random.PRNGKey(0))
+        ev = Evaluator(model, params, BetaHLoss(beta=1),
+                       save_dir=str(tmp_path), is_progress_bar=False,
+                       metrics_seed=7, fast_entropies=fast)
+        ev._compute_q_zCx = lambda dl: (jnp.asarray(mu),
+                                        (jnp.asarray(mu),
+                                         jnp.asarray(logvar)))
+        return ev.compute_metrics(loader)
+
+    exact = run(False)
+    fast = run(True)
+    assert fast["MIG"] == pytest.approx(exact["MIG"], abs=1e-4)
+    assert fast["AAM"] == pytest.approx(exact["AAM"], abs=1e-4)

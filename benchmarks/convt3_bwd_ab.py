@@ -22,10 +22,23 @@ activations, `default` numeric policy — the headline path):
   xla_dx     - dx alone via autodiff (XLA's gradient conv)
   mxu_dx     - dx alone via the explicit stride-2 adjoint conv
 
-PENDING: pl_*/pc_* have NOT run on the chip yet — the axon relay went
-down 2026-08-17 evening (verify skill, relay-outage note) before any
-attempt completed. Until their rows appear under MEASURED below, the
-verdict stands and neither variant is wired into the decoder.
+MEASURED 2026-08-18 (relay restored; same chip, fresh floor — compare
+deltas within a run, not across runs):
+
+    xla_full_ms = 0.980   (baseline, fused autodiff backward)
+    pl_full_ms  = 5.600   pl_bwd_all_ms = 2.609
+    pc_full_ms  = 1.143   pc_dw_ms      = 0.890
+    mxu_full_ms = 0.972   (within noise of baseline this run)
+
+First pl attempt failed Mosaic compilation outright (lane-concat of
+spatially-shifted slices: "result/input offset mismatch on non-concat
+dimension"); the concat-free rewrite (four accumulating dot_generals per
+kernel) compiles but loses 5.7x — the per-shift VMEM relayouts and the
+bn=4 grid swamp the MXU win. VERDICT: pl and pc both REJECTED; the
+decoder keeps plain conv2d_transpose + XLA's fused autodiff backward.
+Three formulations have now been measured against it (op-graph tap-pack,
+phase-conv dW, VMEM-resident Pallas) and all lost; the 334 us fused
+backward stands as the practical floor at this shape on this chip.
 
 Run: `python benchmarks/convt3_bwd_ab.py` (single chip, one process; small
 programs, compiles are seconds each). Prints `# key = value` lines plus one

@@ -28,10 +28,13 @@ dense, zero-waste matmul:
 
 Both kernels stream batch-blocks of x / Q through VMEM (Pallas's
 double-buffered pipeline); Q is materialized ONCE by a thin XLA prologue
-(`dy` read + 0.65x write) and shared by both kernels, the packing
-shuffles happen in VMEM, and the only HBM traffic is the operands
-themselves (~42 MB per kernel at b256 celeba vs autodiff's repeated
-dilated-x round trips). The contraction runs in bf16 with f32
+(`dy` read + 0.65x write) and shared by both kernels, and the only HBM
+traffic is the operands themselves (~42 MB per kernel at b256 celeba vs
+autodiff's repeated dilated-x round trips). Each kernel runs its
+contraction as four accumulating dot_generals — one per (du, dv) shift —
+because Mosaic cannot lane-concatenate spatially-shifted slices
+("result/input offset mismatch on non-concat dimension", observed on
+chip 2026-08-18); the shift slices relayout in VMEM, never HBM. The contraction runs in bf16 with f32
 accumulation — the same pass structure XLA's DEFAULT precision uses, so
 this path is only wired under the fast numeric policy (parity policies
 keep the exact autodiff primitives, as in conv2d_transpose_pc).
@@ -59,29 +62,37 @@ from disvae_tpu.ops.precision import fast_matmul_policy
 _BN = 4
 
 
-def _dw_kernel(cdt, xr, qr, out, acc):
+def _dw_kernel(cdt, xpr, qr, out, acc):
+    # Mosaic cannot concatenate spatially-shifted slices along the lane
+    # dim ("result/input offset mismatch on non-concat dimension"), so
+    # instead of packing the four (du, dv) shifts of x into one
+    # (M, 4*Cin) LHS we run four accumulating dot_generals, each writing
+    # its own Cin-row block of the (4*Cin, 4*Cout) accumulator. Same
+    # contraction, same f32 accumulation, no lane-concat.
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    x = xr[:].astype(cdt)                 # (BN, H, W, Cin)
     q = qr[:].astype(cdt)                 # (BN, H+1, Jq, 4*Cout)
     bn, hq, jq = q.shape[0], q.shape[1], q.shape[2]
-    # x[i + du - 1, j + dv - 1] aligned against Q[i, j]: pad x by 1 on the
-    # leading edges (the du/dv = 0 taps) and by (Jq - W) on the trailing j
-    # edge (Q's j-padding region multiplies zeros there).
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, jq - x.shape[2]), (0, 0)))
-    x4 = jnp.concatenate(
-        [xp[:, du:du + hq, dv:dv + jq, :]
-         for du in (0, 1) for dv in (0, 1)], axis=-1)   # (BN, H+1, Jq, 4Cin)
     m = bn * hq * jq
-    lhs = x4.reshape(m, x4.shape[-1])
     rhs = q.reshape(m, q.shape[-1])
-    acc[:] += lax.dot_general(
-        lhs, rhs, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (4Cin, 4Cout)
+    # xp: x pre-padded by the XLA prologue so that
+    # xp[:, du:du+H+1, dv:dv+Jq, :] == x[i + du - 1, j + dv - 1] aligned
+    # against Q[i, j] (zeros out of range / in Q's j-padding region).
+    xp = xpr[:]                           # (BN, H+2, Jq+1, Cin)
+    cin = xp.shape[-1]
+    for du in (0, 1):
+        for dv in (0, 1):
+            xs = xp[:, du:du + hq, dv:dv + jq, :].astype(cdt)
+            lhs = xs.reshape(m, cin)
+            blk = lax.dot_general(
+                lhs, rhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (Cin, 4Cout)
+            idx = du * 2 + dv
+            acc[idx * cin:(idx + 1) * cin, :] += blk
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -89,18 +100,24 @@ def _dw_kernel(cdt, xr, qr, out, acc):
 
 
 def _dx_kernel(cdt, qr, wr, out):
+    # Concat-free for the same Mosaic reason as _dw_kernel: dx[i, j]
+    # needs Q at rows i + 1 - du, cols j + 1 - dv (du, dv in 0..1), so
+    # sum four (M, 4*Cout) x (4*Cout, Cin) dot_generals — one per
+    # (du, dv) shift against its weight block — in f32.
     q = qr[:].astype(cdt)                 # (BN, H+1, Jq, 4*Cout)
-    w2 = wr[:].astype(cdt)                # (16*Cout, Cin)
+    w2 = wr[:].astype(cdt)                # (4, 4*Cout, Cin)
     bn, h = q.shape[0], q.shape[1] - 1
     wd = out.shape[2]
-    # dx[i, j] needs Q at rows i + 1 - du, cols j + 1 - dv (du, dv in 0..1)
-    qp = jnp.concatenate(
-        [q[:, 1 - du:1 - du + h, 1 - dv:1 - dv + wd, :]
-         for du in (0, 1) for dv in (0, 1)], axis=-1)   # (BN, H, W, 16Cout)
     m = bn * h * wd
-    dx = lax.dot_general(
-        qp.reshape(m, qp.shape[-1]), w2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (M, Cin)
+    dx = None
+    for du in (0, 1):
+        for dv in (0, 1):
+            qs = q[:, 1 - du:1 - du + h, 1 - dv:1 - dv + wd, :]
+            part = lax.dot_general(
+                qs.reshape(m, qs.shape[-1]), w2[du * 2 + dv],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (M, Cin)
+            dx = part if dx is None else dx + part
     out[:] = dx.reshape(out.shape)
 
 
@@ -126,12 +143,17 @@ def convt3_bwd_pl(x, w, dy, interpret=False, cdt=jnp.bfloat16):
 
     q = aligned_phase_s2d(dy, cdt)                      # (N, H+1, W+1, 4Co)
     q = jnp.pad(q, ((0, 0), (0, 0), (0, jq - (wd + 1)), (0, 0)))
+    # x[i + du - 1, j + dv - 1] aligned against Q[i, j]: pad by 1 on the
+    # leading edges (the du/dv = 0 taps) and by (Jq - W) on the trailing
+    # j edge (Q's j-padding region multiplies zeros there). Done here in
+    # XLA (fused into the epilogue of whatever produced x).
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, jq - wd), (0, 0)))
 
     dk = pl.pallas_call(
         functools.partial(_dw_kernel, cdt),
         grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((bn, h, wd, cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((bn, h + 2, jq + 1, cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, h + 1, jq, 4 * cout), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -141,23 +163,23 @@ def convt3_bwd_pl(x, w, dy, interpret=False, cdt=jnp.bfloat16):
         out_shape=jax.ShapeDtypeStruct((4 * cin, 4 * cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4 * cin, 4 * cout), jnp.float32)],
         interpret=interpret,
-    )(x, q)
+    )(xp, q)
     # rows (du, dv, ci), cols (pi, pj, co) -> w[2du+pi, 2dv+pj, ci, co]
     dw = (dk.reshape(2, 2, cin, 2, 2, cout)
             .transpose(0, 3, 1, 4, 2, 5)
             .reshape(4, 4, cin, cout)).astype(w.dtype)
 
-    # W2[(du, dv, pi, pj, co), ci] = w[2du+pi, 2dv+pj, ci, co]
+    # W2[(du, dv), (pi, pj, co), ci] = w[2du+pi, 2dv+pj, ci, co]
     w2 = (w.reshape(2, 2, 2, 2, cin, cout)      # (du, pi, dv, pj, ci, co)
            .transpose(0, 2, 1, 3, 5, 4)
-           .reshape(16 * cout, cin))
+           .reshape(4, 4 * cout, cin))
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, cdt),
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((bn, h + 1, jq, 4 * cout), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * cout, cin), lambda b: (0, 0),
+            pl.BlockSpec((4, 4 * cout, cin), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn, h, wd, cin), lambda b: (b, 0, 0, 0),
@@ -170,7 +192,18 @@ def convt3_bwd_pl(x, w, dy, interpret=False, cdt=jnp.bfloat16):
     return dx, dw, db
 
 
-_INTERPRET = False  # tests flip this on CPU (no Mosaic backend there)
+# None = auto (interpret unless the backend is a real TPU — no Mosaic
+# compiler elsewhere); tests may pin True/False explicitly.
+_INTERPRET = None
+
+
+def _interpret_mode():
+    if _INTERPRET is not None:
+        return _INTERPRET
+    # device_kind, not default_backend(): the tunneled chip registers as
+    # platform "axon" but its device_kind is still "TPU v5 lite".
+    d = jax.devices()[0]
+    return "tpu" not in (d.device_kind + " " + d.platform).lower()
 
 
 @jax.custom_vjp
@@ -194,7 +227,7 @@ def _ct_pl_bwd(res, dy):
         # parity branch (ONE definition of the bit-identical dimension
         # numbers), which takes this same branch under parity policies.
         return _ct_pc_bwd(res, dy)
-    return convt3_bwd_pl(x, w, dy, interpret=_INTERPRET)
+    return convt3_bwd_pl(x, w, dy, interpret=_interpret_mode())
 
 
 conv2d_transpose_pl.defvjp(_ct_pl_fwd, _ct_pl_bwd)

@@ -329,7 +329,7 @@ def test_convT_pallas_bf16_policy_grads_close():
         g_pl = jax.grad(loss(pcb.conv2d_transpose_pl),
                         argnums=(0, 1, 2))(x, w, b)
     finally:
-        pcb._INTERPRET = False
+        pcb._INTERPRET = None  # back to backend auto-detection
         jax.config.update("jax_default_matmul_precision", old)
     for gr, gp, name in zip(g_ref, g_pl, "xwb"):
         scale = float(jnp.max(jnp.abs(gr))) + 1e-30

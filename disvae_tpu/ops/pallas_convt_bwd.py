@@ -18,26 +18,29 @@ y[n, 2i+2-u, 2j+2-v, co] += x[n, i, j, ci] w[u, v, ci, co] becomes a
 dense, zero-waste matmul:
 
   dW[u, v, ci, co] = sum_{n,i,j} x[n, i+du-1, j+dv-1, ci] Q[n, i, j, pi pj co]
-      with (du, pi) = (u >> 1, u & 1)  — one (M, 4*Cin) x (M, 4*Cout)
-      contraction whose LHS packs the four (du, dv) shifts of x into
-      EXACTLY 128 rows at Cin=32 (the MXU's native height), instead of
-      autodiff's Cout-lane-starved grad-conv.
+      with (du, pi) = (u >> 1, u & 1) — four accumulating
+      (M, Cin) x (M, 4*Cout) dot_generals, one per (du, dv) shift of x,
+      each writing its own Cin-row block of the (4*Cin, 4*Cout)
+      accumulator, instead of autodiff's Cout-lane-starved grad-conv.
+      (The ideal single (M, 4*Cin) x (M, 4*Cout) contraction — whose LHS
+      would pack the four shifts into exactly 128 rows at Cin=32, the
+      MXU's native height — is not expressible: Mosaic cannot
+      lane-concatenate spatially-shifted slices, "result/input offset
+      mismatch on non-concat dimension", observed on chip 2026-08-18.)
   dx[n, i, j, ci] = sum Q[n, i+1-du, j+1-dv, (pi, pj, co)] w[u, v, ci, co]
-      — an (M, 16*Cout) x (16*Cout, Cin) matmul (reduction 48 vs
-      autodiff's 3-feature reduction).
+      — four (M, 4*Cout) x (4*Cout, Cin) dot_generals for the same
+      Mosaic reason (reduction 12 per shift, 48 total, vs autodiff's
+      3-feature reduction).
 
 Both kernels stream batch-blocks of x / Q through VMEM (Pallas's
 double-buffered pipeline); Q is materialized ONCE by a thin XLA prologue
 (`dy` read + 0.65x write) and shared by both kernels, and the only HBM
 traffic is the operands themselves (~42 MB per kernel at b256 celeba vs
-autodiff's repeated dilated-x round trips). Each kernel runs its
-contraction as four accumulating dot_generals — one per (du, dv) shift —
-because Mosaic cannot lane-concatenate spatially-shifted slices
-("result/input offset mismatch on non-concat dimension", observed on
-chip 2026-08-18); the shift slices relayout in VMEM, never HBM. The contraction runs in bf16 with f32
-accumulation — the same pass structure XLA's DEFAULT precision uses, so
-this path is only wired under the fast numeric policy (parity policies
-keep the exact autodiff primitives, as in conv2d_transpose_pc).
+autodiff's repeated dilated-x round trips); the shift slices relayout in
+VMEM, never HBM. The contractions run in bf16 with f32 accumulation —
+the same pass structure XLA's DEFAULT precision uses, so this path is
+only wired under the fast numeric policy (parity policies keep the exact
+autodiff primitives, as in conv2d_transpose_pc).
 
 `conv2d_transpose_pl` is the custom_vjp wrapper; forward is bit-identical
 to conv2d_transpose. Exactness is gated on the CPU interpreter
@@ -57,8 +60,11 @@ from disvae_tpu.ops.convs import (_ct_pc_bwd, aligned_phase_s2d,
                                   conv2d_transpose)
 from disvae_tpu.ops.precision import fast_matmul_policy
 
-# Batch rows per grid step. At BN=4, Cin=32, H=W=32 the per-step VMEM
-# footprint is ~8 MB including double buffering — inside the ~16 MB core.
+# Batch rows per grid step. At BN=4, Cin=32, H=W=32, Cout=3 (celeba) the
+# dominant dW-kernel blocks are the pre-padded xp (BN, H+2, Jq+1, Cin)
+# ~= 213k elements and Q (BN, H+1, Jq, 4*Cout) ~= 76k elements per
+# buffer; with double buffering, f32 inputs, and the in-kernel bf16
+# copies that is ~3-4 MB per step — comfortably inside the ~16 MB core.
 _BN = 4
 
 

@@ -345,7 +345,8 @@ def main(args):
                           gif_visualizer=gif_visualizer,
                           mesh=mesh,
                           resident=args.resident_data,
-                          resume=args.resume)
+                          resume=args.resume,
+                          skip_tiny_tail=True)
         if args.profile:
             profile_dir = os.path.join(exp_dir, "profile")
             with jax.profiler.trace(profile_dir):

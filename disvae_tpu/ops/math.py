@@ -63,8 +63,8 @@ def log_importance_weight_matrix_masked(padded_size, n_valid, dataset_size,
     n_valid == 1 is UNDEFINED (M = 0 makes 1/M and strat_weight inf, and the
     (i == n_valid-2) corner never fires) and diverges from the unpadded path,
     which raises on a batch of one just like the reference. The Trainer never
-    feeds such a tail (Trainer._skip_tiny_tail skips it loudly); library
-    callers must do the same.
+    feeds such a tail (Trainer._skip_tiny_tail raises by default, or skips it
+    loudly under skip_tiny_tail=True); library callers must do the same.
     """
     N = jnp.asarray(dataset_size, dtype)
     M = jnp.asarray(n_valid, dtype) - 1.0

@@ -79,6 +79,14 @@ class Trainer:
     save_dir : str
     gif_visualizer : callable(params) or None
         Called after every epoch to append a traversal frame.
+    skip_tiny_tail : bool
+        A ragged final batch of ONE sample is mathematically undefined for
+        FactorVAE (empty half-batch, reference losses.py:246-251) and for
+        btcvae with MSS (M = B-1 = 0 importance weights, reference
+        math.py:54-73); the reference fails fast on it. By default this
+        Trainer matches that contract and raises ValueError. True (the CLI
+        default) instead skips the 1-sample batch with a warning — friendly
+        for interactive runs, but one fewer training sample per epoch.
     """
 
     def __init__(self, model, params, loss_f, lr,
@@ -91,7 +99,8 @@ class Trainer:
                  steps_per_dispatch=16,
                  resident="auto",
                  resume=False,
-                 pipeline_epochs=True):
+                 pipeline_epochs=True,
+                 skip_tiny_tail=False):
         self.model = model
         self.loss_f = loss_f
         self.save_dir = save_dir
@@ -105,6 +114,7 @@ class Trainer:
         # permutation prep behind device compute. Identical numbers either
         # way; False restores strictly sequential epochs.
         self.pipeline_epochs = bool(pipeline_epochs)
+        self.skip_tiny_tail = bool(skip_tiny_tail)
         self._start_epoch = 0
 
         if rng is None:
@@ -364,8 +374,8 @@ class Trainer:
         return self._padded_step
 
     def _skip_tiny_tail(self, true_n):
-        """Skip a ragged final batch of ONE sample for the losses whose math
-        is undefined there, loudly (once per run it is < 0.001% of an epoch):
+        """Handle a ragged final batch of ONE sample for the losses whose
+        math is undefined there:
 
         * FactorVAE consumes two half-batches per step (reference
           losses.py:246-251); a tail of one has an empty half — the reference
@@ -376,24 +386,33 @@ class Trainer:
           reference raises on it, and the masked path
           (ops/math.py:log_importance_weight_matrix_masked) would otherwise
           produce finite non-parity values.
+
+        Default (``skip_tiny_tail=False``) matches the reference's fail-fast
+        contract: raise ValueError so a library caller cannot silently train
+        on one fewer sample per epoch. With ``skip_tiny_tail=True`` (the CLI
+        sets this) the batch is skipped with a warning instead.
         """
         if int(true_n) >= 2:
             return False
         if self.loss_f.needs_discriminator:
-            self.logger.warning(
-                "Skipping a final batch of %d sample(s): FactorVAE needs two "
-                "half-batches per step. Pick a batch size with a tail of >= 2 "
-                "(dataset %% batch) to train on every sample.", int(true_n))
-            return True
-        if self.loss_f.name == "btcvae" and getattr(self.loss_f, "is_mss",
-                                                    False):
-            self.logger.warning(
-                "Skipping a final batch of 1 sample: btcvae MSS importance "
-                "weights are undefined for a single sample (M = B-1 = 0; the "
-                "reference errors on it). Pick a batch size with a tail of "
-                ">= 2 (dataset %% batch) to train on every sample.")
-            return True
-        return False
+            why = ("FactorVAE needs two half-batches per step; a final "
+                   "batch of {} sample(s) has an empty half (the reference "
+                   "crashes here too)".format(int(true_n)))
+        elif self.loss_f.name == "btcvae" and getattr(self.loss_f, "is_mss",
+                                                      False):
+            why = ("btcvae MSS importance weights are undefined for a "
+                   "single sample (M = B-1 = 0; the reference errors on it)")
+        else:
+            return False
+        fix = ("Pick a batch size with a tail of >= 2 (dataset %% batch) to "
+               "train on every sample")
+        if not self.skip_tiny_tail:
+            raise ValueError(
+                "{}. {}, or pass skip_tiny_tail=True to drop the tail "
+                "batch with a warning.".format(why, fix))
+        self.logger.warning("Skipping a final batch of %d sample(s): %s. "
+                            "%s.", int(true_n), why, fix)
+        return True
 
     def _n_dispatches(self, data_loader):
         """Number of items the prefetch iterator will yield for one epoch:

@@ -789,3 +789,57 @@ def test_final_convt_hook_step_bitexact_under_parity(impl):
     for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
                     jax.tree_util.tree_leaves(s_got.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("loss_cfg", [
+    L.FactorKLoss(gamma=6, latent_dim=10, lr_disc=5e-5, steps_anneal=0),
+    L.BtcvaeLoss(n_data=33, alpha=1, beta=6, gamma=1, steps_anneal=0),
+], ids=["factor", "btcvae-mss"])
+def test_tiny_tail_raises_by_default(tmp_path, loss_cfg):
+    """A ragged final batch of ONE sample is undefined for FactorVAE and
+    btcvae-MSS; the reference fails fast (losses.py:246-251, math.py:54-73)
+    and so does the library Trainer by default."""
+    from disvae_tpu.data.datasets import ArrayDataset
+    imgs = (np.random.RandomState(0).rand(33, 32, 32, 1) * 255) \
+        .astype(np.uint8)
+    ds = ArrayDataset(imgs)
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+    model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, loss_cfg, lr=1e-3,
+                      rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False)
+    with pytest.raises(ValueError, match="tail|half|M = B-1|sample"):
+        trainer(loader, epochs=1, checkpoint_every=10)
+
+
+def test_tiny_tail_optin_skips_with_warning(tmp_path, caplog):
+    """skip_tiny_tail=True (the CLI's setting) drops the 1-sample batch
+    loudly and keeps training; losses that ARE defined on a single sample
+    (plain VAE) never skip."""
+    import logging
+
+    from disvae_tpu.data.datasets import ArrayDataset
+    imgs = (np.random.RandomState(0).rand(33, 32, 32, 1) * 255) \
+        .astype(np.uint8)
+    ds = ArrayDataset(imgs)
+    cfg = L.BtcvaeLoss(n_data=33, alpha=1, beta=6, gamma=1, steps_anneal=0)
+    loader = DataLoader(ds, batch_size=16, shuffle=True, seed=0)
+    model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, cfg, lr=1e-3,
+                      rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False,
+                      skip_tiny_tail=True)
+    with caplog.at_level(logging.WARNING):
+        trainer(loader, epochs=1, checkpoint_every=10)
+    assert any("Skipping a final batch" in r.message for r in caplog.records)
+
+    # betaH is defined on one sample: trains the tail, no skip, no raise
+    cfg_ok = L.BetaHLoss(beta=1, steps_anneal=0)
+    model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                        key=jax.random.PRNGKey(0))
+    trainer = Trainer(model, params, cfg_ok, lr=1e-3,
+                      rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path / "ok"), is_progress_bar=False)
+    trainer(loader, epochs=1, checkpoint_every=10)

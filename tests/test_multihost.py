@@ -22,6 +22,10 @@ import sys
 import numpy as np
 import pytest
 
+# Full-suite only: 2-process cluster spin-up costs minutes of subprocess
+# budget; deselect together with `slow` for the fast inner loop.
+pytestmark = pytest.mark.multihost
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "multihost_run.py")
 

@@ -1,10 +1,14 @@
 """MIG / AAM metric tests: streaming logsumexp correctness + end-to-end
 behavior on a synthetic factor lattice."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from tests.conftest import REFERENCE_RESULTS, has_reference_results
 
 from disvae_tpu.data.datasets import ArrayDataset, DataLoader
 from disvae_tpu.models.vae import init_specific_model
@@ -400,3 +404,135 @@ def test_fast_entropies_matches_streaming_on_cpu(tmp_path):
     fast = run(True)
     assert fast["MIG"] == pytest.approx(exact["MIG"], abs=1e-4)
     assert fast["AAM"] == pytest.approx(exact["AAM"], abs=1e-4)
+
+
+class _CountedPerms:
+    """Deterministic permutation stream shared across frameworks: call i
+    returns RandomState(base+i).permutation(n). Both MIG pipelines draw
+    their entropy-estimation samples in the same order (marginal first,
+    then per factor value in lattice order), so feeding each side a fresh
+    stream pins them to IDENTICAL sample indices."""
+
+    def __init__(self, base=10007):
+        self.base, self.i = base, 0
+
+    def permutation(self, n):
+        p = np.random.RandomState(self.base + self.i).permutation(int(n))
+        self.i += 1
+        return p
+
+
+@pytest.mark.slow
+def test_full_pipeline_mig_parity_vs_live_reference(tmp_path, monkeypatch):
+    """BASELINE.json north-star #2, full-pipeline form: from the SAME
+    trained weights (the shipped /root/reference/results/btcvae_dsprites/
+    model.pt, converted), drive the LIVE reference Evaluator.compute_metrics
+    (reference evaluate.py:119-159: full-dataset encode ->
+    _estimate_latent_entropies:233-297 -> _estimate_H_zCv:299-317) and OUR
+    Evaluator.compute_metrics end-to-end on the same reduced factor lattice
+    and require |dMIG| <= 0.01 and |dAAM| <= 0.01.
+
+    Pinned so the comparison is deterministic: identical images (rendered
+    (3,6,10,8,8) lattice), identical weights, identical entropy-sample
+    draws (torch.randperm and our Evaluator rng both replaced by the same
+    counted permutation stream), identical n_samples=1000 (<= the smallest
+    factor slice, 11520/10; the reference's .view(D, n_samples) needs the
+    draw to be full-size). Both sides keep the reference's (S, D) -> (D, S)
+    scramble quirk (our scramble_quirk default). The only residual
+    difference is encoder forward numerics (<=1e-5, gated separately) and
+    f32 logsumexp association order — measured |dMIG| ~ 1e-5, recorded in
+    PARITY.md.
+    """
+    import sys
+    torch = pytest.importorskip("torch")
+    if not (os.path.isdir("/root/reference/disvae")
+            and has_reference_results()):
+        pytest.skip("live reference or checkpoints unavailable")
+    sys.path.insert(0, "/root/reference")
+    np.product = np.prod  # the reference uses the numpy<2 alias
+    # torch 2.x CPU mkldnn convs return channels_last tensors, breaking the
+    # reference's own x.view() flatten — run it the way torch 1.x did
+    torch.backends.mkldnn.enabled = False
+    from disvae.evaluate import Evaluator as RefEvaluator
+    from disvae.models.losses import get_loss_f as torch_loss_f
+    from disvae.models.vae import init_specific_model as torch_init
+
+    from disvae_tpu.data.synthetic import LAT_NAMES, render_factor_lattice
+    from disvae_tpu.data.synthetic import BinaryLatticeDataset
+    from disvae_tpu.utils.torch_compat import load_torch_checkpoint
+    from functools import partial
+
+    lat_sizes = (3, 6, 10, 8, 8)
+    S = 1000
+    ckpt = os.path.join(REFERENCE_RESULTS, "btcvae_dsprites", "model.pt")
+    imgs = render_factor_lattice(lat_sizes)
+
+    # ---- ours ----
+    ours_dir = tmp_path / "ours"; ours_dir.mkdir()
+    ds = BinaryLatticeDataset(imgs, lat_sizes=lat_sizes, lat_names=LAT_NAMES)
+    loader = DataLoader(ds, batch_size=1000, shuffle=False)
+    params = jax.tree_util.tree_map(jnp.asarray, load_torch_checkpoint(ckpt))
+    model = init_specific_model("Burgess", (1, 64, 64), 10)
+    ev = Evaluator(model, params, BetaHLoss(beta=1), save_dir=str(ours_dir),
+                   is_progress_bar=False)
+    ev._np_rng = _CountedPerms()
+    ev._estimate_latent_entropies = partial(
+        Evaluator._estimate_latent_entropies, ev, n_samples=S)
+    ev._estimate_latent_entropies_batched = partial(
+        Evaluator._estimate_latent_entropies_batched, ev, n_samples=S)
+    ours = ev.compute_metrics(loader)
+
+    # ---- live reference from the same weights ----
+    ref_dir = tmp_path / "ref"; ref_dir.mkdir()
+
+    class _RefLattice(torch.utils.data.Dataset):
+        pass
+
+    _RefLattice.lat_sizes = np.asarray(lat_sizes)
+    _RefLattice.lat_names = LAT_NAMES
+    rds = _RefLattice()
+    rds.x = torch.from_numpy(
+        np.ascontiguousarray(np.transpose(imgs, (0, 3, 1, 2))
+                             .astype(np.float32)))
+    _RefLattice.__len__ = lambda self: len(self.x)
+    _RefLattice.__getitem__ = lambda self, i: (self.x[i], 0)
+    rloader = torch.utils.data.DataLoader(rds, batch_size=1000,
+                                          shuffle=False)
+
+    tmodel = torch_init("Burgess", (1, 64, 64), 10)
+    tmodel.load_state_dict(
+        torch.load(ckpt, map_location="cpu", weights_only=True))
+    tmodel.eval()
+    t_loss_f = torch_loss_f("btcvae", n_data=len(rds), rec_dist="bernoulli",
+                            reg_anneal=10000, btcvae_A=1, btcvae_B=6.4,
+                            btcvae_G=1)
+    ref_ev = RefEvaluator(tmodel, t_loss_f, device=torch.device("cpu"),
+                          save_dir=str(ref_dir), is_progress_bar=False)
+    ref_ev._estimate_latent_entropies = partial(
+        RefEvaluator._estimate_latent_entropies, ref_ev, n_samples=S)
+
+    pins = _CountedPerms()
+    monkeypatch.setattr(
+        torch, "randperm",
+        lambda n, device=None, **kw: torch.from_numpy(
+            pins.permutation(n)).to(device=device))
+    with torch.no_grad():
+        theirs = ref_ev.compute_metrics(rloader)
+
+    d_mig = abs(ours["MIG"] - theirs["MIG"])
+    d_aam = abs(ours["AAM"] - theirs["AAM"])
+    print("MIG ours=%.6f ref=%.6f |d|=%.2e ; AAM ours=%.6f ref=%.6f |d|=%.2e"
+          % (ours["MIG"], theirs["MIG"], d_mig,
+             ours["AAM"], theirs["AAM"], d_aam))
+    assert d_mig <= 0.01, (ours, theirs)
+    assert d_aam <= 0.01, (ours, theirs)
+
+    # intermediates must agree too (both sides persist metric_helpers.pth)
+    h_ours = torch.load(str(ours_dir / "metric_helpers.pth"),
+                        weights_only=True)
+    h_ref = torch.load(str(ref_dir / "metric_helpers.pth"),
+                       weights_only=True)
+    for key in ("marginal_entropies", "cond_entropies"):
+        a = np.asarray(h_ours[key], np.float64)
+        b = np.asarray(h_ref[key], np.float64)
+        assert np.abs(a - b).max() < 2e-3, (key, np.abs(a - b).max())

@@ -376,3 +376,206 @@ def test_btcvae_golden_config_curve_and_eval_parity(tmp_path):
     assert span > 0
     dev = np.abs(ours_curve - theirs_curve) / span
     assert dev.max() < 0.10, (ours_curve, theirs_curve, dev)
+
+
+def _circle_imgs(n=256, size=32, seed=0):
+    """Deterministic binary circle sprites shared by the curve-parity
+    tests (both frameworks see the same images in the same order)."""
+    rng = np.random.RandomState(seed)
+    imgs = np.zeros((n, size, size, 1), np.float32)
+    ys, xs = np.mgrid[0:size, 0:size]
+    lo, hi = size // 4, size - size // 4
+    for i in range(n):
+        cy, cx = rng.randint(lo, hi), rng.randint(lo, hi)
+        r = rng.randint(3, size // 4 + 1)
+        imgs[i, :, :, 0] = (((ys - cy) ** 2 + (xs - cx) ** 2) < r * r)
+    return imgs
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference/disvae"),
+                    reason="reference package unavailable")
+def test_betaB_training_dynamics_parity_vs_reference(tmp_path):
+    """Live-torch curve parity for the capacity-annealed betaB loss
+    (reference losses.py:156-202): same converted initial weights, same
+    data in fixed order, 10 epochs; epoch-mean losses must track within
+    5%. Exercises the traced capacity ramp C(step) against the reference's
+    stateful n_train_steps counter (both count STEPS, not epochs)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    np.product = np.prod  # the reference uses the numpy<2 alias
+    torch.backends.mkldnn.enabled = False
+    from disvae.models.vae import init_specific_model as torch_init
+    from disvae.models.losses import get_loss_f as torch_loss_f
+
+    imgs = _circle_imgs()
+    lr, bs, epochs, n = 1e-3, 64, 10, 256
+    C_init, C_fin, gamma, anneal = 0.0, 25.0, 100.0, 100000
+
+    # ---- ours ----
+    from disvae_tpu.data.datasets import ArrayDataset, DataLoader
+    from disvae_tpu.train.trainer import Trainer
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    loader = DataLoader(ArrayDataset((imgs * 255).astype(np.uint8)),
+                        batch_size=bs, shuffle=False)
+    cfg = L.BetaBLoss(C_init=C_init, C_fin=C_fin, gamma=gamma,
+                      steps_anneal=anneal)
+    trainer = Trainer(model, params, cfg, lr=lr, rng=jax.random.PRNGKey(1),
+                      save_dir=str(tmp_path), is_progress_bar=False)
+    ours = [trainer._train_epoch(loader, e)[0] for e in range(epochs)]
+
+    # ---- reference (identical initial weights via the converter) ----
+    tmodel = torch_init("Burgess", (1, 32, 32), 10)
+    tmodel.load_state_dict(params_to_torch_state_dict(params_np))
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr)
+    loss_f = torch_loss_f("betaB", rec_dist="bernoulli", reg_anneal=anneal,
+                          betaB_initC=C_init, betaB_finC=C_fin,
+                          betaB_G=gamma)
+    x_all = torch.from_numpy(np.ascontiguousarray(
+        np.transpose(np.round(imgs * 255) / 255, (0, 3, 1, 2)))).float()
+    theirs = []
+    torch.manual_seed(0)
+    for _ in range(epochs):
+        ep = []
+        for i in range(0, n, bs):
+            x = x_all[i:i + bs]
+            recon, latent_dist, latent_sample = tmodel(x)
+            loss = loss_f(x, recon, latent_dist, True, None,
+                          latent_sample=latent_sample)
+            opt.zero_grad(); loss.backward(); opt.step()
+            ep.append(loss.item())
+        theirs.append(float(np.mean(ep)))
+
+    ours = np.asarray(ours)
+    theirs = np.asarray(theirs)
+    print("betaB ours:  ", np.round(ours, 2))
+    print("betaB theirs:", np.round(theirs, 2))
+    assert ours[-1] < ours[0] and theirs[-1] < theirs[0]
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    assert rel.max() < 0.05, (ours, theirs, rel)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference/disvae"),
+                    reason="reference package unavailable")
+def test_factor_training_dynamics_parity_vs_reference():
+    """Live-torch curve parity for FactorVAE — the dual-optimizer
+    retain-graph dance (reference losses.py:205-313) that our single
+    surrogate-gradient step (steps.py _factor_train_step) reformulates.
+
+    Same converted initial VAE weights AND the same converted initial
+    discriminator, same data in fixed order, 10 epochs. Epoch means of the
+    VAE loss and its recon/KL components must track within 5%; tc_loss
+    (a mean of near-zero logit differences) is gated in absolute terms on
+    the loss scale. discrim_loss is tracked in distribution only — the
+    permutation/reparam RNG realizations differ across frameworks — so it
+    gets a loose absolute gate around log(2) where both hover.
+    """
+    import sys
+    from collections import defaultdict
+    sys.path.insert(0, "/root/reference")
+    np.product = np.prod
+    torch.backends.mkldnn.enabled = False
+    from disvae.models.vae import init_specific_model as torch_init
+    from disvae.models.losses import FactorKLoss as TorchFactorKLoss
+
+    from disvae_tpu.models.discriminator import Discriminator
+    from disvae_tpu.train.state import create_train_state
+    from disvae_tpu.train.steps import (make_disc_optimizer, make_optimizer,
+                                        make_train_step)
+
+    imgs = _circle_imgs()
+    lr, lr_disc, gamma, bs, epochs, n = 5e-4, 1e-4, 6.4, 64, 10, 256
+    keys = ("loss", "recon_loss", "kl_loss", "tc_loss", "discrim_loss")
+
+    # ---- ours: the production factor step, driven batch-by-batch ----
+    model, params = init_specific_model("Burgess", (1, 32, 32), 10,
+                                        key=jax.random.PRNGKey(0))
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    cfg = L.FactorKLoss(gamma=gamma, latent_dim=10, lr_disc=lr_disc,
+                        steps_anneal=0)
+    disc = Discriminator(latent_dim=10)
+    disc_key = jax.random.PRNGKey(7)
+    disc_params_np = jax.tree_util.tree_map(np.asarray, disc.init(disc_key))
+    optimizer = make_optimizer(lr)
+    disc_opt = make_disc_optimizer(cfg)
+    state = create_train_state(model, params, optimizer,
+                               jax.random.PRNGKey(1), disc=disc,
+                               disc_optimizer=disc_opt, disc_rng=disc_key,
+                               loss_cfg=cfg)
+    step = make_train_step(model, cfg, optimizer, disc=disc,
+                           disc_optimizer=disc_opt)
+    ours = {k: [] for k in keys}
+    for _ in range(epochs):
+        ep = defaultdict(list)
+        for i in range(0, n, bs):
+            state, m = step(state, jnp.asarray(imgs[i:i + bs]))
+            for k in keys:
+                ep[k].append(float(m[k]))
+        for k in keys:
+            ours[k].append(float(np.mean(ep[k])))
+
+    # ---- reference: live call_optimize from the same initial weights ----
+    tmodel = torch_init("Burgess", (1, 32, 32), 10)
+    tmodel.load_state_dict(params_to_torch_state_dict(params_np))
+    tmodel.train()
+    t_loss_f = TorchFactorKLoss(torch.device("cpu"), gamma=gamma,
+                                disc_kwargs=dict(latent_dim=10),
+                                optim_kwargs=dict(lr=lr_disc,
+                                                  betas=(0.5, 0.9)),
+                                rec_dist="bernoulli", steps_anneal=0)
+    dsd = {}
+    for i in range(1, 7):
+        p = disc_params_np["lin%d" % i]
+        dsd["lin%d.weight" % i] = torch.from_numpy(
+            np.ascontiguousarray(p["w"].T))
+        dsd["lin%d.bias" % i] = torch.from_numpy(np.asarray(p["b"]))
+    t_loss_f.discriminator.load_state_dict(dsd)
+    # record sub-losses EVERY step (the stock _pre_call gates to step%50==1;
+    # the gate itself is covered by tests/test_losses.py)
+    def _record_always(is_train, storer):
+        if is_train:
+            t_loss_f.n_train_steps += 1
+        return storer
+    t_loss_f._pre_call = _record_always
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr)
+    x_all = torch.from_numpy(np.ascontiguousarray(
+        np.transpose(imgs, (0, 3, 1, 2))))
+    theirs = {k: [] for k in keys}
+    torch.manual_seed(0)
+    for _ in range(epochs):
+        storer = defaultdict(list)
+        for i in range(0, n, bs):
+            t_loss_f.call_optimize(x_all[i:i + bs], tmodel, opt, storer)
+        for k in keys:
+            theirs[k].append(float(np.mean(storer[k])))
+
+    for k in keys:
+        print("factor %-13s ours %s theirs %s"
+              % (k, np.round(ours[k], 4), np.round(theirs[k], 4)))
+    o = {k: np.asarray(v) for k, v in ours.items()}
+    t = {k: np.asarray(v) for k, v in theirs.items()}
+    # both VAEs must actually learn
+    assert o["loss"][-1] < o["loss"][0] and t["loss"][-1] < t["loss"][0]
+    # headline VAE loss and recon within 5%
+    for k in ("loss", "recon_loss"):
+        rel = np.abs(o[k] - t[k]) / np.abs(t[k])
+        assert rel.max() < 0.05, (k, o[k], t[k], rel)
+    # KL is small early (different reparam streams) — gate on the loss scale
+    scale = np.abs(t["loss"])
+    assert (np.abs(o["kl_loss"] - t["kl_loss"]) / scale).max() < 0.05, \
+        (o["kl_loss"], t["kl_loss"])
+    # tc_loss is a mean of logit differences hovering near 0
+    assert (np.abs(o["tc_loss"] - t["tc_loss"]) / scale).max() < 0.05, \
+        (o["tc_loss"], t["tc_loss"])
+    # discrim_loss: distribution-only (cross entropy near log 2 while the
+    # discriminator is untrained-ish; per-epoch values are adversarial noise
+    # under disjoint permutation/reparam RNG streams — measured single-epoch
+    # deviations up to ~0.5). Gate the band and the run-level mean.
+    for v in (o["discrim_loss"], t["discrim_loss"]):
+        assert 0.0 < v.min() and v.max() < 1.5, v
+    assert abs(o["discrim_loss"].mean() - t["discrim_loss"].mean()) < 0.25, \
+        (o["discrim_loss"], t["discrim_loss"])

@@ -485,11 +485,14 @@ def test_host_slice_union_is_global_permutation(tiny_dataset):
         np.testing.assert_array_equal(union, gb)
 
 
-def test_factor_tail_of_one_is_skipped_not_nan(tmp_path, tiny_dataset):
+def test_factor_tail_of_one_fails_fast_or_skips_when_opted_in(tmp_path,
+                                                              tiny_dataset):
     """FactorVAE with a ragged tail of exactly 1 sample: the two-half split
-    has an empty half (reference losses.py:246-251 would crash; the masked
-    surrogate would 0/0 to NaN). The Trainer must skip the sample with a
-    warning and keep params finite — on both the plain and the mesh path."""
+    has an empty half (reference losses.py:246-251 crashes there; the
+    masked surrogate would 0/0 to NaN). Default Trainer matches the
+    reference's fail-fast contract and raises; with skip_tiny_tail=True
+    (what the CLI sets) the sample is skipped with a warning and params
+    stay finite — on both the plain and the mesh path."""
     from disvae_tpu.data.datasets import ArrayDataset
     from disvae_tpu.parallel.mesh import create_mesh
 
@@ -498,12 +501,28 @@ def test_factor_tail_of_one_is_skipped_not_nan(tmp_path, tiny_dataset):
     for mesh in (None, create_mesh()):
         model, params = init_specific_model("Burgess", ds.img_size, 10,
                                             key=jax.random.PRNGKey(0))
+        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+
+        # library default: fail fast like the reference
         trainer = Trainer(model, params, cfg, lr=1e-3,
                           rng=jax.random.PRNGKey(1),
-                          save_dir=str(tmp_path / str(mesh is None)),
+                          save_dir=str(tmp_path / ("strict-%s" % (mesh is
+                                                                  None))),
                           is_progress_bar=False, mesh=mesh,
                           resident="never")
-        loader = DataLoader(ds, batch_size=32, shuffle=True, seed=0)
+        with pytest.raises(ValueError, match="empty half"):
+            trainer(loader, epochs=1, checkpoint_every=100)
+
+        # opt-in skip (the CLI's behavior): warn, drop the sample, stay
+        # finite
+        model, params = init_specific_model("Burgess", ds.img_size, 10,
+                                            key=jax.random.PRNGKey(0))
+        trainer = Trainer(model, params, cfg, lr=1e-3,
+                          rng=jax.random.PRNGKey(1),
+                          save_dir=str(tmp_path / ("skip-%s" % (mesh is
+                                                                None))),
+                          is_progress_bar=False, mesh=mesh,
+                          resident="never", skip_tiny_tail=True)
         trainer(loader, epochs=1, checkpoint_every=100)
         for leaf in jax.tree_util.tree_leaves(trainer.state.params):
             assert np.isfinite(np.asarray(leaf)).all()

@@ -275,6 +275,7 @@ def main(args):
     logger.info("Root directory for saving and loading experiments: {}"
                 .format(exp_dir))
 
+    trainer = train_loader = None
     if not args.is_eval_only:
         # Rank 0 owns the results dir (archive-then-create must happen once,
         # not once per host); other ranks wait for it to exist.
@@ -391,6 +392,20 @@ def main(args):
             # host).
             logger.info("Multi-host run: evaluating on local devices.")
             eval_mesh = None
+        # Reuse the trainer's HBM-resident wire upload for the metrics
+        # encode when the eval loader covers the same image set (wire bytes
+        # are a pure function of (dataset class, root, images)) — the
+        # train+eval flow then never re-ships the dataset.
+        eval_resident = args.resident_data
+        if (trainer is not None and eval_mesh is mesh
+                and trainer.resident_data is not None
+                and type(test_loader.dataset) is type(train_loader.dataset)
+                and len(test_loader.dataset) == len(train_loader.dataset)
+                and getattr(test_loader.dataset, "root", None)
+                == getattr(train_loader.dataset, "root", None)):
+            logger.info("Evaluator reuses the training run's HBM-resident "
+                        "dataset upload.")
+            eval_resident = trainer.resident_data
         evaluator = Evaluator(model, params, loss_f,
                               rng=eval_key,
                               logger=logger,
@@ -398,7 +413,8 @@ def main(args):
                               is_progress_bar=not args.no_progress_bar,
                               mesh=eval_mesh,
                               scramble_quirk=not args.corrected_mig,
-                              fast_entropies=args.fast_metrics)
+                              fast_entropies=args.fast_metrics,
+                              resident=eval_resident)
         evaluator(test_loader, is_metrics=args.is_metrics,
                   is_losses=not args.no_test)
 

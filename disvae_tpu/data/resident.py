@@ -56,19 +56,33 @@ class ResidentData:
         import jax.numpy as jnp
 
         n = len(dataset)
-        if getattr(dataset, "is_binary", False):
-            rows = np.asarray(dataset.imgs, np.uint8).reshape(n, -1)
-            host = np.packbits(rows, axis=1)
+        binary = bool(getattr(dataset, "is_binary", False))
+        if binary:
+            c, h, w = dataset.img_size
+            row_bytes = (h * w * c + 7) // 8
+            mul = 1
         else:
             mul = int(round(255 * dataset._scale))
-            host = np.asarray(dataset.imgs, np.uint8)
+            row_bytes = int(np.prod(dataset.imgs.shape[1:]))
+        wire_shape = (n, row_bytes) if binary else dataset.imgs.shape
+
+        def host_chunk(lo, hi):
+            """Wire-format rows [lo, hi) — packed/scaled PER CHUNK, not
+            upfront: the device_put of chunk i is async, so chunk i+1's
+            packbits/copy overlaps the transfer, and the full-dataset
+            intermediate (3 GB unpacked for dsprites) never materializes."""
+            piece = np.asarray(dataset.imgs[lo:hi], np.uint8)
+            if binary:
+                return np.packbits(piece.reshape(hi - lo, -1), axis=1)
             if mul != 1:
-                host = (host * mul).astype(np.uint8)
+                piece = (piece * mul).astype(np.uint8)
+            return np.ascontiguousarray(piece)
+
         sharding = None
         if mesh is not None:
             from disvae_tpu.parallel.mesh import replicate
             sharding = replicate(mesh)
-        rows_per_chunk = max(1, self.CHUNK_BYTES // max(1, host[0].nbytes))
+        rows_per_chunk = max(1, self.CHUNK_BYTES // max(1, row_bytes))
         # Preallocate-and-fill with a DONATED per-chunk update. The previous
         # device_put-all-chunks + jnp.concatenate transiently held ~2x the
         # wire bytes in HBM (all chunks + the concatenated copy); here the
@@ -79,16 +93,16 @@ class ResidentData:
             return lax.dynamic_update_slice_in_dim(a, c, i, axis=0)
 
         if sharding is not None:
-            wire = jax.jit(lambda: jnp.zeros(host.shape, jnp.uint8),
+            wire = jax.jit(lambda: jnp.zeros(wire_shape, jnp.uint8),
                            out_shardings=sharding)()
             upd = jax.jit(_upd, donate_argnums=(0,),
                           out_shardings=sharding)
         else:
-            wire = jax.jit(lambda: jnp.zeros(host.shape, jnp.uint8))()
+            wire = jax.jit(lambda: jnp.zeros(wire_shape, jnp.uint8))()
             upd = jax.jit(_upd, donate_argnums=(0,))
         n_chunks = 0
         for i in range(0, n, rows_per_chunk):
-            piece = np.ascontiguousarray(host[i:i + rows_per_chunk])
+            piece = host_chunk(i, min(n, i + rows_per_chunk))
             dev = jax.device_put(piece, sharding) if sharding is not None \
                 else jax.device_put(piece)
             wire = upd(wire, dev, jnp.int32(i))
@@ -96,7 +110,7 @@ class ResidentData:
         self.wire = wire
         self.n = n
         logger.info("Resident dataset: %d images, %.0f MB wire in HBM "
-                    "(%d-chunk upload).", n, host.nbytes / 1e6, n_chunks)
+                    "(%d-chunk upload).", n, n * row_bytes / 1e6, n_chunks)
 
     @classmethod
     def maybe(cls, dataset, mesh=None, limit_bytes=DEFAULT_LIMIT_BYTES):

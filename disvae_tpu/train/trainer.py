@@ -185,6 +185,14 @@ class Trainer:
     def params(self):
         return self.state.params
 
+    @property
+    def resident_data(self):
+        """The training run's HBM-resident wire upload (data/resident.py),
+        or None. A caller evaluating the SAME images afterwards (the CLI's
+        test/metrics phase) can hand this to Evaluator(resident=...) and
+        skip a second multi-hundred-MB host->device upload."""
+        return self._resident
+
     # ------------------------------------------------------------------
     # checkpoint / resume (full training state, atomic)
     #
@@ -404,8 +412,8 @@ class Trainer:
                    "single sample (M = B-1 = 0; the reference errors on it)")
         else:
             return False
-        fix = ("Pick a batch size with a tail of >= 2 (dataset %% batch) to "
-               "train on every sample")
+        fix = ("Pick a batch size with a tail of >= 2 (dataset mod batch) "
+               "to train on every sample")
         if not self.skip_tiny_tail:
             raise ValueError(
                 "{}. {}, or pass skip_tiny_tail=True to drop the tail "

@@ -536,3 +536,112 @@ def test_full_pipeline_mig_parity_vs_live_reference(tmp_path, monkeypatch):
         a = np.asarray(h_ours[key], np.float64)
         b = np.asarray(h_ref[key], np.float64)
         assert np.abs(a - b).max() < 2e-3, (key, np.abs(a - b).max())
+
+
+# --------------------------------------------------------------------------
+# HBM-resident metrics encode (Evaluator(resident=...)): the full-dataset
+# encode slices a one-time on-device wire upload instead of re-shipping the
+# dataset every pass. Must be BIT-identical to the streaming feed — same
+# wire bytes through the same decompress+encode program.
+# --------------------------------------------------------------------------
+
+def _lattice_ds(binary=False, n_extra=0):
+    """A (5, 8) factor lattice with a deliberately ragged size vs batch 16
+    (40 images = 2 full batches + tail of 8)."""
+    rng = np.random.RandomState(11)
+    N = 5 * 8 + n_extra
+    if binary:
+        from disvae_tpu.data.synthetic import BinaryLatticeDataset
+        imgs = (rng.rand(N, 32, 32, 1) > 0.7).astype(np.uint8)
+        return BinaryLatticeDataset(imgs, lat_sizes=[5, 8],
+                                    lat_names=("A", "B"))
+    imgs = (rng.rand(N, 32, 32, 1) * 255).astype(np.uint8)
+    return ArrayDataset(imgs, lat_sizes=[5, 8], lat_names=("A", "B"))
+
+
+@pytest.mark.parametrize("binary", [False, True],
+                         ids=["uint8-wire", "bitpacked-wire"])
+def test_resident_encode_matches_streaming(tmp_path, binary):
+    ds = _lattice_ds(binary=binary)
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+
+    def run(resident):
+        loader = DataLoader(ds, batch_size=16, shuffle=False)
+        ev = Evaluator(model, params, BetaHLoss(beta=1),
+                       save_dir=str(tmp_path), is_progress_bar=False,
+                       metrics_seed=9, resident=resident)
+        out = ev.compute_metrics(loader)
+        return out, ev
+
+    streaming, _ = run("never")
+    resident, ev = run("auto")
+    assert ev._resident is not None, "resident feed never engaged"
+    assert resident["MIG"] == streaming["MIG"]
+    assert resident["AAM"] == streaming["AAM"]
+
+
+def test_resident_encode_matches_streaming_on_mesh(tmp_path):
+    from disvae_tpu.parallel.mesh import create_mesh
+
+    ds = _lattice_ds()
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+    mesh = create_mesh()
+
+    def run(resident):
+        loader = DataLoader(ds, batch_size=16, shuffle=False)
+        ev = Evaluator(model, params, BetaHLoss(beta=1),
+                       save_dir=str(tmp_path), is_progress_bar=False,
+                       mesh=mesh, metrics_seed=9, resident=resident)
+        out = ev.compute_metrics(loader)
+        return out, ev
+
+    streaming, _ = run("never")
+    resident, ev = run("auto")
+    assert ev._resident is not None, "resident feed never engaged"
+    # batch 16 divides the 8-device data axis -> the sharded slicer path;
+    # the tail of 8 also divides it
+    assert resident["MIG"] == pytest.approx(streaming["MIG"], abs=1e-6)
+    assert resident["AAM"] == pytest.approx(streaming["AAM"], abs=1e-6)
+
+
+def test_resident_prebuilt_upload_reused(tmp_path):
+    """A ResidentData built elsewhere (the Trainer's) is adopted instead of
+    re-uploading, and still matches streaming."""
+    from disvae_tpu.data.resident import ResidentData
+
+    ds = _lattice_ds()
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+    prebuilt = ResidentData(ds)
+
+    loader = DataLoader(ds, batch_size=16, shuffle=False)
+    ev = Evaluator(model, params, BetaHLoss(beta=1),
+                   save_dir=str(tmp_path), is_progress_bar=False,
+                   metrics_seed=9, resident=prebuilt)
+    got = ev.compute_metrics(loader)
+    assert ev._resident is prebuilt, "prebuilt upload was not adopted"
+
+    ev2 = Evaluator(model, params, BetaHLoss(beta=1),
+                    save_dir=str(tmp_path), is_progress_bar=False,
+                    metrics_seed=9, resident="never")
+    want = ev2.compute_metrics(DataLoader(ds, batch_size=16, shuffle=False))
+    assert got["MIG"] == want["MIG"]
+    assert got["AAM"] == want["AAM"]
+
+
+def test_resident_refused_when_order_would_differ(tmp_path):
+    """Shuffled or host-sliced loaders iterate in a different order than
+    the on-device wire array — the resident path must refuse them."""
+    ds = _lattice_ds()
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+    ev = Evaluator(model, params, BetaHLoss(beta=1),
+                   save_dir=str(tmp_path), is_progress_bar=False,
+                   metrics_seed=9, resident="always")
+    assert not ev._use_resident(DataLoader(ds, batch_size=16, shuffle=True,
+                                           seed=1))
+    assert not ev._use_resident(DataLoader(ds, batch_size=16, shuffle=False,
+                                           host_slice=(0, 2)))
+    assert ev._use_resident(DataLoader(ds, batch_size=16, shuffle=False))

@@ -323,28 +323,24 @@ def bench_mig_eval():
 
 def _last_measured():
     """Newest driver-recorded headline (BENCH_r*.json with a non-null value)
-    — the one source of perf truth; tools/gen_readme_perf.py renders the
-    README table from the same files."""
-    import glob
-    import re
-    best = None
-    for path in glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        try:
-            with open(path) as f:
-                parsed = json.load(f).get("parsed") or {}
-        except (OSError, ValueError):
-            continue
-        if parsed.get("value") is None:
-            continue
-        rnd = int(m.group(1))
-        if best is None or rnd > best["round"]:
-            best = {"round": rnd, "value": parsed["value"],
-                    "vs_baseline": parsed.get("vs_baseline")}
-    return best
+    — delegated to tools/gen_readme_perf.py so the one source of perf truth
+    has exactly one scanner (the generator, the drift-gate test, and this
+    outage fallback all read the same code path)."""
+    import importlib.util
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "gen_readme_perf", os.path.join(repo, "tools", "gen_readme_perf.py"))
+    tool = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(tool)
+        rounds = tool.measured_rounds(repo)
+    except Exception:  # a broken tool must not mask the outage report
+        return None
+    if not rounds:
+        return None
+    rnd, parsed = rounds[-1]
+    return {"round": rnd, "value": parsed["value"],
+            "vs_baseline": parsed.get("vs_baseline")}
 
 
 def _tunnel_up(timeout_s=600):

@@ -28,13 +28,21 @@ logger = logging.getLogger(__name__)
 DEFAULT_LIMIT_BYTES = 6_000_000_000
 
 
-def wire_nbytes(dataset):
-    """Bytes the dataset occupies in wire format (bitpacked or uint8)."""
+def wire_shape(dataset):
+    """Shape of the dataset's wire-format array: (N, row_bytes) bitpacked
+    rows for binary datasets, the raw (N, H, W, C) uint8 array otherwise.
+    Single source of truth — ResidentData builds this shape and consumers
+    (Evaluator's prebuilt-upload check) validate against it."""
     n = len(dataset)
     if getattr(dataset, "is_binary", False):
         c, h, w = dataset.img_size
-        return n * ((h * w * c + 7) // 8)
-    return int(np.prod((n,) + tuple(dataset.imgs.shape[1:])))
+        return (n, (h * w * c + 7) // 8)
+    return tuple(dataset.imgs.shape)
+
+
+def wire_nbytes(dataset):
+    """Bytes the dataset occupies in wire format (bitpacked or uint8)."""
+    return int(np.prod(wire_shape(dataset)))
 
 
 class ResidentData:
@@ -57,14 +65,9 @@ class ResidentData:
 
         n = len(dataset)
         binary = bool(getattr(dataset, "is_binary", False))
-        if binary:
-            c, h, w = dataset.img_size
-            row_bytes = (h * w * c + 7) // 8
-            mul = 1
-        else:
-            mul = int(round(255 * dataset._scale))
-            row_bytes = int(np.prod(dataset.imgs.shape[1:]))
-        wire_shape = (n, row_bytes) if binary else dataset.imgs.shape
+        shape = wire_shape(dataset)
+        row_bytes = int(np.prod(shape[1:]))
+        mul = 1 if binary else int(round(255 * dataset._scale))
 
         def host_chunk(lo, hi):
             """Wire-format rows [lo, hi) — packed/scaled PER CHUNK, not
@@ -93,12 +96,12 @@ class ResidentData:
             return lax.dynamic_update_slice_in_dim(a, c, i, axis=0)
 
         if sharding is not None:
-            wire = jax.jit(lambda: jnp.zeros(wire_shape, jnp.uint8),
+            wire = jax.jit(lambda: jnp.zeros(shape, jnp.uint8),
                            out_shardings=sharding)()
             upd = jax.jit(_upd, donate_argnums=(0,),
                           out_shardings=sharding)
         else:
-            wire = jax.jit(lambda: jnp.zeros(wire_shape, jnp.uint8))()
+            wire = jax.jit(lambda: jnp.zeros(shape, jnp.uint8))()
             upd = jax.jit(_upd, donate_argnums=(0,))
         n_chunks = 0
         for i in range(0, n, rows_per_chunk):

@@ -203,12 +203,24 @@ class Evaluator:
             return False
         if self._resident_ds is None and self._resident is not None:
             # prebuilt upload handed in by the caller (e.g. the Trainer's):
-            # adopt it for the first loader whose size matches — the caller
-            # asserts the wire CONTENT matches (same images, same format)
-            if self._resident.n == len(ds):
-                self._resident_ds = ds
-                return True
-            return False
+            # adopt it for the first loader whose size AND wire shape match
+            # — the caller asserts the wire CONTENT matches (same images).
+            # A shape mismatch is a caller bug (upload built from a
+            # different dataset/format): refuse loudly rather than slice
+            # the wrong images into the metrics encode.
+            if self._resident.n != len(ds):
+                return False
+            from disvae_tpu.data.resident import wire_shape
+            expected = wire_shape(ds)
+            got = tuple(self._resident.wire.shape)
+            if got != expected:
+                raise ValueError(
+                    "Prebuilt resident upload has wire shape {} but this "
+                    "loader's dataset would pack to {} — it was built from "
+                    "a different dataset or wire format.".format(
+                        got, expected))
+            self._resident_ds = ds
+            return True
         if ds is not self._resident_ds:
             self._resident_ds = ds
             self._resident = None

@@ -257,6 +257,18 @@ class Trainer:
             # the loader's permutation is keyed by (seed, epoch counter)
             data_loader._epoch = max(data_loader._epoch, start_epoch)
 
+        # Fail fast BEFORE dispatching any work: the ragged-tail size is
+        # static (len(dataset) mod batch regardless of shuffle), so the
+        # tiny-tail contract violation (_skip_tiny_tail) is decidable here
+        # — raising only when the tail batch is reached would waste a full
+        # epoch of dispatched batches first.
+        bs = getattr(data_loader, "batch_size", None)
+        n_ds = len(getattr(data_loader, "dataset", []) or [])
+        if (bs and n_ds and n_ds % bs == 1
+                and not getattr(data_loader, "drop_last", False)
+                and not self.skip_tiny_tail):
+            self._skip_tiny_tail(1)  # raises for the affected losses
+
         # Preemption safety: on SIGTERM/SIGINT finish the current epoch,
         # write a full-state checkpoint, and stop — the run is then exactly
         # resumable with --resume. (The reference has no notion of this;

@@ -631,6 +631,33 @@ def test_resident_prebuilt_upload_reused(tmp_path):
     assert got["AAM"] == want["AAM"]
 
 
+def test_resident_prebuilt_shape_mismatch_refused_loudly(tmp_path):
+    """A prebuilt upload whose wire shape doesn't match the loader's
+    dataset (same length, different format/geometry) is a caller bug —
+    the Evaluator must raise, not slice the wrong images (silent metric
+    corruption)."""
+    from disvae_tpu.data.resident import ResidentData
+    from disvae_tpu.data.synthetic import BinaryLatticeDataset
+
+    ds_a = _lattice_ds()                 # uint8 wire, (40, 32, 32, 1)
+    rng = np.random.RandomState(3)
+    ds_b = BinaryLatticeDataset(         # bitpacked wire, (40, 128)
+        (rng.rand(40, 32, 32, 1) > 0.5).astype(np.uint8),
+        lat_sizes=[5, 8], lat_names=("A", "B"))
+    model, params = init_specific_model("Burgess", (1, 32, 32), 4,
+                                        key=jax.random.PRNGKey(0))
+    ev = Evaluator(model, params, BetaHLoss(beta=1),
+                   save_dir=str(tmp_path), is_progress_bar=False,
+                   metrics_seed=9, resident=ResidentData(ds_a))
+    with pytest.raises(ValueError, match="wire shape"):
+        ev._use_resident(DataLoader(ds_b, batch_size=16, shuffle=False))
+    # a LENGTH mismatch is not a caller bug (e.g. eval over a subset):
+    # quietly fall back to streaming
+    ds_c = _lattice_ds(n_extra=8)
+    assert not ev._use_resident(DataLoader(ds_c, batch_size=16,
+                                           shuffle=False))
+
+
 def test_resident_refused_when_order_would_differ(tmp_path):
     """Shuffled or host-sliced loaders iterate in a different order than
     the on-device wire array — the resident path must refuse them."""

@@ -23,7 +23,7 @@ def _load_tool():
 
 def test_readme_perf_table_matches_its_named_bench():
     tool = _load_tool()
-    newest, _ = tool.latest_bench()
+    rounds = [r for r, _ in tool.measured_rounds()]
     with open(os.path.join(REPO, "README.md")) as f:
         text = f.read()
     i, j = text.find(tool.BEGIN), text.find(tool.END)
@@ -32,15 +32,43 @@ def test_readme_perf_table_matches_its_named_bench():
     m = re.search(r"BENCH_r(\d+)\.json", current)
     assert m, "README BENCH block doesn't name its source BENCH file"
     claimed = int(m.group(1))
-    assert claimed >= newest - 1, (
-        "README perf table lags the newest measurement by more than one "
-        "round (claims r%02d, newest measured is r%02d) — run "
-        "`python tools/gen_readme_perf.py`" % (claimed, newest))
+    # Grace: the second-newest MEASURED round is still acceptable (the
+    # newest landed after the last chance to regenerate; outage/null
+    # rounds don't count — they never obsolete the table).
+    floor = rounds[-2] if len(rounds) > 1 else rounds[-1]
+    assert claimed >= floor, (
+        "README perf table lags by more than one measured round (claims "
+        "r%02d, measured rounds up to r%02d) — run "
+        "`python tools/gen_readme_perf.py`" % (claimed, rounds[-1]))
     block = tool.render_block(claimed, tool.bench_for_round(claimed))
     assert current == block, (
         "README perf table was hand-edited or mis-rendered — run "
         "`python tools/gen_readme_perf.py` (block must match the render "
         "of BENCH_r%02d.json exactly)" % claimed)
+
+
+def test_measured_rounds_skip_outage_and_corrupt_files(tmp_path):
+    """The grace window counts MEASURED rounds: outage JSONs (value null)
+    and corrupt files never obsolete the README table."""
+    import json
+    tool = _load_tool()
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"value": 1.0}}))
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"value": None, "error": "relay down"}}))
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": {"value": 2.0}}))
+    (tmp_path / "BENCH_r06.json").write_text("{truncated")
+    assert [r for r, _ in tool.measured_rounds(str(tmp_path))] == [3, 5]
+    assert tool.latest_bench(str(tmp_path))[0] == 5
+
+
+def test_bench_for_round_tolerates_unpadded_names(tmp_path):
+    import json
+    tool = _load_tool()
+    (tmp_path / "BENCH_r7.json").write_text(
+        json.dumps({"parsed": {"value": 3.0}}))
+    assert tool.bench_for_round(7, str(tmp_path))["value"] == 3.0
 
 
 def test_generator_handles_old_and_new_mig_keys():

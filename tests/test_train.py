@@ -512,6 +512,11 @@ def test_factor_tail_of_one_fails_fast_or_skips_when_opted_in(tmp_path,
                           resident="never")
         with pytest.raises(ValueError, match="empty half"):
             trainer(loader, epochs=1, checkpoint_every=100)
+        # the contract violation is static (len(dataset) mod batch), so it
+        # must raise BEFORE any batch is dispatched — not after wasting an
+        # epoch of full batches (state.step is a device scalar; fetching it
+        # is fine on the CPU test platform)
+        assert int(np.asarray(trainer.state.step)) == 0
 
         # opt-in skip (the CLI's behavior): warn, drop the sample, stay
         # finite

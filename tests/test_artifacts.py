@@ -120,12 +120,13 @@ def test_onchip_full_viz_family_snapshot():
     data_samples, reconstruct, prior_traversals, reconstruct_traverse,
     posterior_traversals.gif) plus training.gif from the training run
     (VERDICT r3 missing #3)."""
-    d = os.path.join(ARTIFACTS, "betaH_dsprites_tpu")
     expected = ["samples.png", "data_samples.png", "reconstruct.png",
                 "prior_traversals.png", "reconstruct_traverse.png",
                 "posterior_traversals.gif", "training.gif",
                 "test_losses.log", "metrics.reference-faithful.log",
                 "metrics.corrected.log", "MANIFEST.txt"]
-    missing = [f for f in expected
-               if not os.path.exists(os.path.join(d, f))]
-    assert not missing, missing
+    for name in ("betaH_dsprites_tpu", "factor_dsprites_tpu"):
+        d = os.path.join(ARTIFACTS, name)
+        missing = [f for f in expected
+                   if not os.path.exists(os.path.join(d, f))]
+        assert not missing, (name, missing)

@@ -264,12 +264,19 @@ def bench_device_only(policy="default"):
     flops_per_image, flops_src = _model_flops_per_image(
         single, state, batches[0])
 
-    t0 = time.perf_counter()
-    for _ in range(SUPERSTEPS):
-        state, metrics = multi(state, batches)
-    fetch(metrics)
-    dt = time.perf_counter() - t0
-    return BATCH * K * SUPERSTEPS / dt, flops_per_image, flops_src
+    # Best of 3 timed windows: each window's clock stops on a device->host
+    # fetch over the jittery tunnel, and that noise only ever ADDS time —
+    # a single slow fetch once measured this BOUND below the e2e number it
+    # is supposed to bound. The fastest window is the honest estimator of
+    # the compute bound.
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(SUPERSTEPS):
+            state, metrics = multi(state, batches)
+        fetch(metrics)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return BATCH * K * SUPERSTEPS / best_dt, flops_per_image, flops_src
 
 
 def _model_flops_per_image(step, state, batch):

@@ -71,6 +71,33 @@ def test_bench_for_round_tolerates_unpadded_names(tmp_path):
     assert tool.bench_for_round(7, str(tmp_path))["value"] == 3.0
 
 
+def test_bench_promotes_warm_mig_components_consistently():
+    """bench.py's JSON must stay internally consistent: if the tracked
+    mig_eval_seconds is promoted to the warm pass, its encode/entropy
+    components must be promoted too (encode + entropy ~= eval)."""
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    out = {}
+    bench.promote_warm_mig_keys(out, {
+        "mig_eval_seconds": 43.4, "mig_eval_seconds_warm": 4.7,
+        "mig_encode_seconds": 20.7, "mig_encode_seconds_warm": 0.7,
+        "mig_entropy_seconds": 21.5, "mig_entropy_seconds_warm": 4.0,
+        "mig_eval_images": 737280})
+    assert out["mig_eval_seconds"] == 4.7
+    assert out["mig_encode_seconds"] == 0.7
+    assert out["mig_entropy_seconds"] == 4.0
+    assert (out["mig_eval_seconds_cold"], out["mig_encode_seconds_cold"],
+            out["mig_entropy_seconds_cold"]) == (43.4, 20.7, 21.5)
+    assert abs(out["mig_encode_seconds"] + out["mig_entropy_seconds"]
+               - out["mig_eval_seconds"]) < 0.5
+    # no warm keys -> passthrough, nothing invented
+    out2 = {}
+    bench.promote_warm_mig_keys(out2, {"mig_eval_seconds": 71.6})
+    assert out2 == {"mig_eval_seconds": 71.6}
+
+
 def test_generator_handles_old_and_new_mig_keys():
     tool = _load_tool()
     # pre-r4 style: mig_eval_seconds is the cold pass

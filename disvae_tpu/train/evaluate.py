@@ -352,6 +352,11 @@ class Evaluator:
                                         storer=metric_helpers)
         metrics = {"MIG": float(mig), "AAM": float(aam)}
         self._save_metric_helpers(metric_helpers)
+        # expose the intermediates alongside the timings so callers that
+        # TIME this pipeline (benchmarks/mig_bench.py) can also assert it
+        # produced non-degenerate output (VERDICT r4 weak #4: a regression
+        # that zeroed the encode would time identically)
+        self.last_metrics_internals = metric_helpers
         return metrics
 
     def _save_metric_helpers(self, metric_helpers):

@@ -31,8 +31,13 @@ cap="${EVIDENCE_TIMEOUT:-2700}"
 run() { # <label> <cmd...>
   local label=$1; shift
   echo "== $label ($(date -u +%H:%M:%S)): $*" >&2
-  if ! timeout "$cap" "$@" > "/tmp/${name}.${label}.log" 2>&1; then
-    echo "FAILED $label (rc=$?); log tail:" >&2
+  local rc=0
+  timeout "$cap" "$@" > "/tmp/${name}.${label}.log" 2>&1 || rc=$?
+  if [ "$rc" -ne 0 ]; then
+    # rc captured explicitly so the log shows the REAL exit status
+    # (124 = timeout vs a CLI crash) — `$?` inside the if-branch of a
+    # negated pipeline is always 0.
+    echo "FAILED $label (rc=$rc); log tail:" >&2
     tail -20 "/tmp/${name}.${label}.log" >&2
     exit 1
   fi

@@ -49,7 +49,9 @@ def test_every_cli_invocation_parses():
                      .replace("${dataset}", "dsprites")
                      .replace("${precision}", "highest")
                      .replace("$exp", "VAE_dsprites") for a in argv[1:]]
-            args = [re.sub(r"\$\{?\w+\}?", "1", a) for a in args]
+            # empty-default expansions (`${FLAGS:-}`) contribute no token
+            args = [re.sub(r"\$\{\w+:-\}", "", a) for a in args]
+            args = [re.sub(r"\$\{?\w+\}?", "1", a) for a in args if a]
             if argv[0] == "main.py":
                 parsed = main_mod.parse_arguments(args)
                 seen_train += 1

@@ -18,7 +18,11 @@
 # Usage: tools/evidence_run.sh <name> <experiment> [seed]
 #   e.g. tools/evidence_run.sh VAE_dsprites_tpu VAE_dsprites 1234
 # Env: EVIDENCE_COOLDOWN (s between TPU processes, default 330),
-#      EVIDENCE_TIMEOUT (s per CLI invocation, default 2700).
+#      EVIDENCE_TIMEOUT (s per CLI invocation, default 2700),
+#      EVIDENCE_TRAIN_FLAGS (extra flags for the train leg only, e.g.
+#      "--no-viz-gif --precision default" for long throughput-bound runs),
+#      EVIDENCE_SKIP_METRICS=1 (datasets without a factor lattice — celeba,
+#      chairs, mnist, fashion — cannot run MIG/AAM; skip both metrics legs).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 name=$1
@@ -44,16 +48,20 @@ run() { # <label> <cmd...>
   echo "== $label done ($(date -u +%H:%M:%S))" >&2
 }
 
-run train python main.py "$name" -x "$exp" --no-progress-bar -s "$seed"
+# shellcheck disable=SC2086 — EVIDENCE_TRAIN_FLAGS is intentionally word-split
+run train python main.py "$name" -x "$exp" --no-progress-bar -s "$seed" \
+    ${EVIDENCE_TRAIN_FLAGS:-}
 sleep "$cool"
-run metrics-faithful python main.py "$name" -x "$exp" --is-eval-only \
-    --is-metrics --no-test --no-progress-bar
-tools/snapshot_artifacts.sh "$name" reference-faithful >&2
-sleep "$cool"
-run metrics-corrected python main.py "$name" -x "$exp" --is-eval-only \
-    --is-metrics --no-test --no-progress-bar --corrected-mig
-tools/snapshot_artifacts.sh "$name" corrected >&2
-sleep "$cool"
+if [ "${EVIDENCE_SKIP_METRICS:-0}" != "1" ]; then
+  run metrics-faithful python main.py "$name" -x "$exp" --is-eval-only \
+      --is-metrics --no-test --no-progress-bar
+  tools/snapshot_artifacts.sh "$name" reference-faithful >&2
+  sleep "$cool"
+  run metrics-corrected python main.py "$name" -x "$exp" --is-eval-only \
+      --is-metrics --no-test --no-progress-bar --corrected-mig
+  tools/snapshot_artifacts.sh "$name" corrected >&2
+  sleep "$cool"
+fi
 run viz python main_viz.py "$name" all -s 1
 # final exhaustive snapshot; the run dir's metrics.log holds the corrected
 # mode at this point (it was the last metrics invocation)

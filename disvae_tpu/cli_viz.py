@@ -88,28 +88,29 @@ def main(args):
     if "all" in args.plots:
         args.plots = [p for p in PLOT_TYPES if p != "all"]
 
+    # one thunk per plot type; kwargs per the Visualizer method contracts
+    # (traversals takes ONE image — hence samples[0:1] — and only in
+    # posterior mode, matching the reference dispatch semantics)
+    dispatch = {
+        'generate-samples': lambda: viz.generate_samples(size=size),
+        'data-samples': lambda: viz.data_samples(samples, size=size),
+        'reconstruct': lambda: viz.reconstruct(samples, size=size),
+        'traversals': lambda: viz.traversals(
+            data=samples[0:1] if args.is_posterior else None,
+            n_per_latent=args.n_cols, n_latents=args.n_rows,
+            is_reorder_latents=True),
+        'reconstruct-traverse': lambda: viz.reconstruct_traverse(
+            samples, is_posterior=args.is_posterior, n_latents=args.n_rows,
+            n_per_latent=args.n_cols, is_show_text=args.is_show_loss),
+        'gif-traversals': lambda: viz.gif_traversals(
+            samples[:args.n_cols], n_latents=args.n_rows),
+    }
     for plot_type in args.plots:
-        if plot_type == 'generate-samples':
-            viz.generate_samples(size=size)
-        elif plot_type == 'data-samples':
-            viz.data_samples(samples, size=size)
-        elif plot_type == "reconstruct":
-            viz.reconstruct(samples, size=size)
-        elif plot_type == 'traversals':
-            viz.traversals(data=samples[0:1] if args.is_posterior else None,
-                           n_per_latent=args.n_cols,
-                           n_latents=args.n_rows,
-                           is_reorder_latents=True)
-        elif plot_type == "reconstruct-traverse":
-            viz.reconstruct_traverse(samples,
-                                     is_posterior=args.is_posterior,
-                                     n_latents=args.n_rows,
-                                     n_per_latent=args.n_cols,
-                                     is_show_text=args.is_show_loss)
-        elif plot_type == "gif-traversals":
-            viz.gif_traversals(samples[:args.n_cols], n_latents=args.n_rows)
-        else:
+        try:
+            render = dispatch[plot_type]
+        except KeyError:
             raise ValueError("Unrecognized plot_type={}".format(plot_type))
+        render()
 
 
 def cli():

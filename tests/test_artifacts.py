@@ -142,6 +142,23 @@ def test_onchip_full_viz_family_snapshot():
         assert not missing, (name, missing)
 
 
+def test_onchip_grid_of_gifs():
+    """The README-style grid-of-gifs (reference bin/plot_all.sh →
+    utils/viz_helpers.py:126-148 plot_grid_gifs) rendered from a real chip
+    run of `bin/plot_all.sh` grid section over two complete on-chip result
+    dirs (VAE_dsprites_tpu, factor_dsprites_tpu: per-model gif-traversals
+    with the cherry-picked dsprites indices, then grid assembly)."""
+    import imageio.v2 as imageio
+
+    g = os.path.join(ARTIFACTS, "grid_posteriors.gif")
+    frames = imageio.mimread(g, memtest=False)
+    assert len(frames) == 15, len(frames)  # n_per_gif traversal steps
+    h, w = frames[0].shape[:2]
+    assert h > w >= 100, (h, w)  # 2 model rows stacked over 1 dataset col
+    # animated: trained models' traversals actually vary across frames
+    assert any((frames[i] != frames[0]).any() for i in range(1, 15))
+
+
 def test_onchip_flagship_200_epoch_snapshot():
     """The reference's flagship artifact is btcvae_celeba at 200 epochs
     (reference hyperparam.ini Common_celeba epochs=200;

@@ -183,3 +183,26 @@ def test_onchip_flagship_200_epoch_snapshot():
     assert epochs.nunique() == 200 and epochs.max() == 199
     # same row shape as the reference's shipped 200-epoch flagship log
     assert len(df) == 3200
+
+
+def test_onchip_serving_probe_snapshot():
+    """The deployment surface (disvae_tpu/serve.py: bucketed ServingModel
+    + StableHLO export/reload) exercised on the real chip against the
+    flagship 200-epoch checkpoint by `tools/serving_probe.py` — the probe
+    itself asserts ragged-request bucket parity, [0,1] reconstruction
+    range, and that the DESERIALIZED encoder/decoder match the live
+    ServingModel to 1e-5 before it prints this JSON."""
+    p = os.path.join(ARTIFACTS, "serving_probe_btcvae_celeba_tpu.json")
+    out = json.load(open(p))
+    assert out["run"] == "btcvae_celeba_tpu"
+    for k in ("load_seconds", "cold_encode_reconstruct_seconds",
+              "warm_ragged_encode_reconstruct_seconds", "export_seconds",
+              "reload_exec_seconds"):
+        assert out[k] > 0, k
+    # warm serving must beat the compile-inclusive cold pass
+    assert (out["warm_ragged_encode_reconstruct_seconds"]
+            < out["cold_encode_reconstruct_seconds"])
+    # both artifacts exported and non-trivial (weights embedded: >0.5 MB)
+    assert set(out["shlo_bytes"]) == {"encoder.shlo", "decoder.shlo"}
+    assert all(v > 500_000 for v in out["shlo_bytes"].values())
+    assert "match the live ServingModel" in out["parity"]

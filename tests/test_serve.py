@@ -39,6 +39,27 @@ def test_serving_model_roundtrip(tmp_path):
     np.testing.assert_allclose(mu8[0], mu[0], atol=1e-6)
 
 
+def test_serving_probe_cli(tmp_path, capsys):
+    """tools/serving_probe.py (the chip-evidence probe behind
+    artifacts/serving_probe_btcvae_celeba_tpu.json) runs end-to-end on the
+    CPU mesh: its internal assertions (ragged bucket parity, [0,1] range,
+    deserialized-StableHLO == live model) all execute, and it prints one
+    well-formed JSON line."""
+    import json
+
+    from tools.serving_probe import main as probe_main
+
+    res = tmp_path / "results" / "tiny"
+    res.mkdir(parents=True)
+    _saved_dir(res)
+    probe_main(["tiny", "--requests", "8", "--res-dir",
+                str(tmp_path / "results")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["run"] == "tiny"
+    assert set(out["shlo_bytes"]) == {"encoder.shlo", "decoder.shlo"}
+    assert out["warm_ragged_encode_reconstruct_seconds"] > 0
+
+
 def test_stablehlo_export_roundtrip(tmp_path):
     model, params = _saved_dir(tmp_path)
     paths = export_artifacts(str(tmp_path), batch_size=4)

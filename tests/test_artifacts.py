@@ -35,6 +35,31 @@ def test_fabricator_canonical_sprites():
     assert (he == _canonical(2, 1.0, 0.0)).all()
 
 
+def test_fabricator_chairs(tmp_path):
+    from tools.fabricate_chairs import main as fab_main, render_chair
+
+    c = np.ones((64, 64), np.float32)
+    render_chair(c, 32, 30, 1.2, 1.0, 2.0, 0.2)
+    dark = c < 0.9
+    assert 50 < dark.sum() < 1500  # a silhouette, not empty/filled
+    # bigger scale -> bigger silhouette; different shade -> different gray
+    c2 = np.ones((64, 64), np.float32)
+    render_chair(c2, 32, 30, 1.7, 1.0, 2.0, 0.4)
+    assert (c2 < 0.9).sum() > dark.sum()
+    assert not np.isclose(c2[c2 < 0.9].min(), c[dark].min())
+
+    fab_main(["--root", str(tmp_path), "--n", "32"])
+    mm = np.load(tmp_path / "chairs_64.npy", mmap_mode="r")
+    assert mm.shape == (32, 64, 64, 1) and mm.dtype == np.uint8
+    # white background dominates, silhouettes vary across images
+    assert (np.asarray(mm[:8]) == 255).mean() > 0.5
+    assert any((mm[i] != mm[0]).any() for i in range(1, 8))
+    # the Chairs dataset reads this cache directly
+    from disvae_tpu.data import datasets as ds_mod
+    chairs = ds_mod.Chairs(root=str(tmp_path))
+    assert len(chairs) == 32 and chairs.imgs.shape[1:] == (64, 64, 1)
+
+
 def _artifact_dirs():
     return sorted(
         d for d in glob.glob(os.path.join(ARTIFACTS, "*"))

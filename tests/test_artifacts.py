@@ -60,6 +60,42 @@ def test_fabricator_chairs(tmp_path):
     assert len(chairs) == 32 and chairs.imgs.shape[1:] == (64, 64, 1)
 
 
+@pytest.mark.parametrize("dataset,loader", [("mnist", "MNIST"),
+                                            ("fashion", "FashionMNIST")])
+def test_fabricator_mnist_fashion(tmp_path, dataset, loader):
+    from tools.fabricate_mnist import (main as fab_main, render_digit,
+                                       render_garment)
+
+    render = render_digit if dataset == "mnist" else render_garment
+    # each class draws a distinct, non-empty, non-full glyph
+    glyphs = []
+    for cls in range(10):
+        c = np.zeros((32, 32), np.float32)
+        render(c, cls, 16.0, 16.0, 1.0, 0.5, 1.0)
+        assert 20 < (c > 0.5).sum() < 800, (dataset, cls)
+        glyphs.append(c > 0.5)
+    for a in range(10):
+        for b in range(a + 1, 10):
+            assert (glyphs[a] != glyphs[b]).any(), (dataset, a, b)
+    # scale is a real factor
+    big = np.zeros((32, 32), np.float32)
+    render(big, 0, 16.0, 16.0, 1.4, 0.5, 1.0)
+    assert (big > 0.5).sum() > (glyphs[0]).sum()
+
+    fab_main(["--dataset", dataset, "--root", str(tmp_path), "--n", "40"])
+    with np.load(tmp_path / "train32.npz") as z:
+        imgs, labels = z["imgs"], z["labels"]
+    assert imgs.shape == (40, 32, 32, 1) and imgs.dtype == np.uint8
+    assert labels.dtype == np.int32 and sorted(set(labels)) == list(range(10))
+    # black background dominates; images vary
+    assert (imgs[:8] == 0).mean() > 0.5
+    assert any((imgs[i] != imgs[0]).any() for i in range(1, 8))
+    # the loaders read this cache directly
+    from disvae_tpu.data import datasets as ds_mod
+    ds = getattr(ds_mod, loader)(root=str(tmp_path))
+    assert len(ds) == 40 and ds.imgs.shape[1:] == (32, 32, 1)
+
+
 def _artifact_dirs():
     return sorted(
         d for d in glob.glob(os.path.join(ARTIFACTS, "*"))

@@ -246,6 +246,38 @@ def test_onchip_flagship_200_epoch_snapshot():
     assert len(df) == 3200
 
 
+def test_onchip_chairs_300_epoch_snapshot():
+    """The chairs config at full reference length (hyperparam.ini
+    Common_chairs epochs=300) on the LEARNABLE fabricated cache
+    (tools/fabricate_chairs.py, full 86,366-image count): every epoch in
+    the CSV, a real learning curve (not an entropy-floor plateau), the
+    eval JSON, and a full `main_viz.py all` render whose posterior gif is
+    genuinely animated (the model learned, so traversal frames differ —
+    unlike the unlearnable-noise celeba flagship). No metrics.log (chairs
+    has no ground-truth factors — same as the reference) and no
+    training.gif (the long train leg runs `--no-viz-gif`)."""
+    import pandas as pd
+    from PIL import Image
+
+    d = os.path.join(ARTIFACTS, "btcvae_chairs_tpu")
+    for f in ("samples.png", "data_samples.png", "reconstruct.png",
+              "prior_traversals.png", "reconstruct_traverse.png",
+              "posterior_traversals.gif", "test_losses.log",
+              "MANIFEST.txt"):
+        assert os.path.exists(os.path.join(d, f)), f
+
+    spec = json.load(open(os.path.join(d, "specs.json")))
+    assert spec["epochs"] == 300 and spec["dataset"] == "chairs"
+    df = pd.read_csv(os.path.join(d, "train_losses.log"))
+    loss = df[df["Loss"] == "loss"]
+    assert loss["Epoch"].nunique() == 300 and loss["Epoch"].max() == 299
+    # learnable cache: epoch-mean loss drops to < 1/3 of the first epoch
+    first = loss[loss["Epoch"] == 0]["Value"].mean()
+    assert loss["Value"].min() < first / 3, (first, loss["Value"].min())
+    with Image.open(os.path.join(d, "posterior_traversals.gif")) as im:
+        assert getattr(im, "n_frames", 1) > 1
+
+
 def test_onchip_serving_probe_snapshot():
     """The deployment surface (disvae_tpu/serve.py: bucketed ServingModel
     + StableHLO export/reload) exercised on the real chip against the

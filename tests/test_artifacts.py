@@ -60,6 +60,40 @@ def test_fabricator_chairs(tmp_path):
     assert len(chairs) == 32 and chairs.imgs.shape[1:] == (64, 64, 1)
 
 
+def test_fabricator_celeba(tmp_path):
+    from tools.fabricate_celeba import (main as fab_main, render_faces,
+                                        sample_factors)
+
+    rng = np.random.default_rng(0)
+    f = sample_factors(rng, 12)
+    imgs = render_faces(f)
+    assert imgs.shape == (12, 64, 64, 3) and imgs.dtype == np.uint8
+    # every portrait differs (12 continuous factors in play)
+    assert all((imgs[i] != imgs[0]).any() for i in range(1, 12))
+    # scale is a real factor: bigger face -> more non-background pixels
+    bg = imgs[:, 0, 0, :][:, None, None, :]
+    f2 = {k: v.copy() for k, v in f.items()}
+    f2["scale"][:] = 0.8
+    small = (render_faces(f2) != bg).any(-1).sum()
+    f2["scale"][:] = 1.2
+    big = (render_faces(f2) != bg).any(-1).sum()
+    assert big > small
+    # smile curvature moves pixels
+    f2["smile"][:] = -1.0
+    frown = render_faces(f2)
+    f2["smile"][:] = 1.0
+    assert (render_faces(f2) != frown).any()
+
+    fab_main(["--root", str(tmp_path), "--n", "40", "--chunk", "16"])
+    mm = np.load(tmp_path / "celeba_64.npy", mmap_mode="r")
+    assert mm.shape == (40, 64, 64, 3) and mm.dtype == np.uint8
+    assert any((mm[i] != mm[0]).any() for i in range(1, 8))
+    # the CelebA dataset reads this cache directly
+    from disvae_tpu.data import datasets as ds_mod
+    celeba = ds_mod.CelebA(root=str(tmp_path))
+    assert len(celeba) == 40 and celeba.imgs.shape[1:] == (64, 64, 3)
+
+
 @pytest.mark.parametrize("dataset,loader", [("mnist", "MNIST"),
                                             ("fashion", "FashionMNIST")])
 def test_fabricator_mnist_fashion(tmp_path, dataset, loader):

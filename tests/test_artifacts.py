@@ -312,6 +312,43 @@ def test_onchip_chairs_300_epoch_snapshot():
         assert getattr(im, "n_frames", 1) > 1
 
 
+@pytest.mark.parametrize("name,dataset,loss_name,drop", [
+    # `drop`: required min/first-epoch loss ratio. betaH's beta=4 KL
+    # pressure caps the achievable reconstruction gain vs the plain VAE.
+    ("VAE_mnist_full_tpu", "mnist", "VAE", 0.65),
+    ("betaH_fashion_full_tpu", "fashion", "betaH", 0.72),
+])
+def test_onchip_mnist_fashion_400_epoch_snapshot(name, dataset, loss_name,
+                                                 drop):
+    """mnist/fashion at full reference length (hyperparam.ini
+    Common_mnist/Common_fashion epochs=400) on the LEARNABLE full-count
+    fabricated caches (tools/fabricate_mnist.py, 60,000 images): every
+    epoch in the CSV, a real learning curve, the eval JSON, and a full
+    `main_viz.py all` render with an animated posterior gif. The long
+    train leg runs `--no-viz-gif` (no training.gif); mnist/fashion have
+    no ground-truth factors, so no metrics.log — same as the reference."""
+    import pandas as pd
+    from PIL import Image
+
+    d = os.path.join(ARTIFACTS, name)
+    for f in ("samples.png", "data_samples.png", "reconstruct.png",
+              "prior_traversals.png", "reconstruct_traverse.png",
+              "posterior_traversals.gif", "test_losses.log",
+              "MANIFEST.txt"):
+        assert os.path.exists(os.path.join(d, f)), f
+
+    spec = json.load(open(os.path.join(d, "specs.json")))
+    assert spec["epochs"] == 400 and spec["dataset"] == dataset
+    assert spec["loss"] == loss_name
+    df = pd.read_csv(os.path.join(d, "train_losses.log"))
+    loss = df[df["Loss"] == "loss"]
+    assert loss["Epoch"].nunique() == 400 and loss["Epoch"].max() == 399
+    first = loss[loss["Epoch"] == 0]["Value"].mean()
+    assert loss["Value"].min() < drop * first, (first, loss["Value"].min())
+    with Image.open(os.path.join(d, "posterior_traversals.gif")) as im:
+        assert getattr(im, "n_frames", 1) > 1
+
+
 def test_onchip_serving_probe_snapshot():
     """The deployment surface (disvae_tpu/serve.py: bucketed ServingModel
     + StableHLO export/reload) exercised on the real chip against the

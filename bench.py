@@ -118,20 +118,23 @@ CACHE = os.path.join(os.environ.get("DISVAE_DATA_ROOT",
 def _ensure_celeba_cache(n=N_CELEBA):
     """Real celeba can't download here (zero egress); fabricate a full-size
     uint8 (N, 64, 64, 3) cache once so the gather path touches a real
-    2.3 GB disk memmap, same as production."""
+    2.3 GB disk memmap, same as production. Uses the learnable
+    parametric-portrait fabricator (tools/fabricate_celeba.py) so the one
+    on-disk cache serves both the bench (content-agnostic throughput) and
+    real training evidence runs."""
     if os.path.exists(CACHE):
         return
     os.makedirs(os.path.dirname(CACHE), exist_ok=True)
     from numpy.lib.format import open_memmap
+    from tools.fabricate_celeba import render_faces, sample_factors
     tmp = CACHE + ".tmp.npy"
     arr = open_memmap(tmp, mode="w+", dtype=np.uint8,
                       shape=(n, 64, 64, 3))
-    rng = np.random.RandomState(0)
-    chunk = 8192
+    rng = np.random.default_rng(0)
+    chunk = 1024
     for i in range(0, n, chunk):
         j = min(i + chunk, n)
-        arr[i:j] = rng.randint(0, 256, size=(j - i, 64, 64, 3),
-                               dtype=np.uint8)
+        arr[i:j] = render_faces(sample_factors(rng, j - i))
     arr.flush()
     del arr
     os.replace(tmp, CACHE)

@@ -205,15 +205,6 @@ def test_onchip_viz_snapshots_decode(d):
     import imageio.v2 as imageio
     for g in gifs:
         frames = imageio.mimread(g, memtest=False)
-        if len(frames) == 1 and d.endswith("btcvae_celeba_tpu"):
-            # 200-epoch flagship on the fabricated (unlearnable-noise)
-            # celeba cache: the decoder ignores z entirely, so all 15
-            # traversal frames are byte-identical and Pillow's GIF writer
-            # merges consecutive duplicates into a single frame — the
-            # reference's imageio path degenerates identically. Assert the
-            # one frame is a real traversal grid instead.
-            assert frames[0].shape[0] >= 32 and frames[0].shape[1] >= 32
-            continue
         assert len(frames) > 1, (g, len(frames))
         assert frames[0].shape[0] >= 32, (g, frames[0].shape)
 
@@ -258,11 +249,15 @@ def test_onchip_flagship_200_epoch_snapshot():
     """The reference's flagship artifact is btcvae_celeba at 200 epochs
     (reference hyperparam.ini Common_celeba epochs=200;
     results/btcvae_celeba/train_losses.log ends at epoch 199). The round-5
-    chip run reproduces it at full length: every epoch in the CSV, the
-    eval JSON, and a full `main_viz.py all` render. No metrics.log (celeba
-    has no ground-truth factors — same as the reference) and no
-    training.gif (the flagship leg runs `--no-viz-gif`)."""
+    chip run reproduces it at full length on the LEARNABLE fabricated
+    celeba cache (tools/fabricate_celeba.py parametric portraits): every
+    epoch in the CSV, a real learning signal, the eval JSON, and a full
+    `main_viz.py all` render with a genuinely animated posterior gif.
+    No metrics.log (celeba has no ground-truth factors — same as the
+    reference) and no training.gif (the flagship leg runs
+    `--no-viz-gif`)."""
     import pandas as pd
+    from PIL import Image
 
     d = os.path.join(ARTIFACTS, "btcvae_celeba_tpu")
     for f in ("samples.png", "data_samples.png", "reconstruct.png",
@@ -274,10 +269,21 @@ def test_onchip_flagship_200_epoch_snapshot():
     spec = json.load(open(os.path.join(d, "specs.json")))
     assert spec["epochs"] == 200 and spec["dataset"] == "celeba"
     df = pd.read_csv(os.path.join(d, "train_losses.log"))
-    epochs = df[df["Loss"] == "loss"]["Epoch"]
-    assert epochs.nunique() == 200 and epochs.max() == 199
+    loss = df[df["Loss"] == "loss"]
+    assert loss["Epoch"].nunique() == 200 and loss["Epoch"].max() == 199
     # same row shape as the reference's shipped 200-epoch flagship log
     assert len(df) == 3200
+    # real learning on the parametric-portrait cache: the distribution's
+    # intrinsic per-image BCE floor is ~7304 nats (mid-range pixel values;
+    # computed from the cache itself), so gate the drop ABOVE the floor
+    # rather than a naive ratio — and require a non-collapsed latent.
+    first = loss[loss["Epoch"] == 0]["Value"].mean()
+    last = loss[loss["Epoch"] == 199]["Value"].mean()
+    assert last < first - 150, (first, last)
+    kl = df[df["Loss"] == "kl_loss"]
+    assert kl[kl["Epoch"] == 199]["Value"].mean() > 5.0
+    with Image.open(os.path.join(d, "posterior_traversals.gif")) as im:
+        assert getattr(im, "n_frames", 1) > 1
 
 
 def test_onchip_chairs_300_epoch_snapshot():
@@ -286,8 +292,8 @@ def test_onchip_chairs_300_epoch_snapshot():
     (tools/fabricate_chairs.py, full 86,366-image count): every epoch in
     the CSV, a real learning curve (not an entropy-floor plateau), the
     eval JSON, and a full `main_viz.py all` render whose posterior gif is
-    genuinely animated (the model learned, so traversal frames differ —
-    unlike the unlearnable-noise celeba flagship). No metrics.log (chairs
+    genuinely animated (the model learned, so traversal frames differ).
+    No metrics.log (chairs
     has no ground-truth factors — same as the reference) and no
     training.gif (the long train leg runs `--no-viz-gif`)."""
     import pandas as pd

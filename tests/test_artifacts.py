@@ -221,7 +221,8 @@ def test_onchip_full_viz_family_snapshot():
                 "test_losses.log", "metrics.reference-faithful.log",
                 "metrics.corrected.log", "MANIFEST.txt"]
     for name in ("betaH_dsprites_tpu", "factor_dsprites_tpu",
-                 "betaB_dsprites_tpu", "VAE_dsprites_tpu"):
+                 "betaB_dsprites_tpu", "VAE_dsprites_tpu",
+                 "btcvae_dsprites_tpu"):
         d = os.path.join(ARTIFACTS, name)
         missing = [f for f in expected
                    if not os.path.exists(os.path.join(d, f))]

@@ -287,8 +287,14 @@ def test_onchip_flagship_200_epoch_snapshot():
         assert getattr(im, "n_frames", 1) > 1
 
 
-def test_onchip_chairs_300_epoch_snapshot():
-    """The chairs config at full reference length (hyperparam.ini
+@pytest.mark.parametrize("name,loss_name,drop", [
+    # `drop`: required min/first-epoch loss ratio. betaB's capacity ramp
+    # keeps a growing KL budget in the total, capping the visible drop.
+    ("btcvae_chairs_tpu", "btcvae", 1 / 3),
+    ("betaB_chairs_tpu", "betaB", 0.47),
+])
+def test_onchip_chairs_300_epoch_snapshot(name, loss_name, drop):
+    """The chairs configs at full reference length (hyperparam.ini
     Common_chairs epochs=300) on the LEARNABLE fabricated cache
     (tools/fabricate_chairs.py, full 86,366-image count): every epoch in
     the CSV, a real learning curve (not an entropy-floor plateau), the
@@ -300,7 +306,7 @@ def test_onchip_chairs_300_epoch_snapshot():
     import pandas as pd
     from PIL import Image
 
-    d = os.path.join(ARTIFACTS, "btcvae_chairs_tpu")
+    d = os.path.join(ARTIFACTS, name)
     for f in ("samples.png", "data_samples.png", "reconstruct.png",
               "prior_traversals.png", "reconstruct_traverse.png",
               "posterior_traversals.gif", "test_losses.log",
@@ -309,12 +315,13 @@ def test_onchip_chairs_300_epoch_snapshot():
 
     spec = json.load(open(os.path.join(d, "specs.json")))
     assert spec["epochs"] == 300 and spec["dataset"] == "chairs"
+    assert spec["loss"] == loss_name
     df = pd.read_csv(os.path.join(d, "train_losses.log"))
     loss = df[df["Loss"] == "loss"]
     assert loss["Epoch"].nunique() == 300 and loss["Epoch"].max() == 299
-    # learnable cache: epoch-mean loss drops to < 1/3 of the first epoch
+    # learnable cache: epoch-mean loss drops well below the first epoch
     first = loss[loss["Epoch"] == 0]["Value"].mean()
-    assert loss["Value"].min() < first / 3, (first, loss["Value"].min())
+    assert loss["Value"].min() < drop * first, (first, loss["Value"].min())
     with Image.open(os.path.join(d, "posterior_traversals.gif")) as im:
         assert getattr(im, "n_frames", 1) > 1
 

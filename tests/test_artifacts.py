@@ -292,6 +292,7 @@ def test_onchip_flagship_200_epoch_snapshot():
     # keeps a growing KL budget in the total, capping the visible drop.
     ("btcvae_chairs_tpu", "btcvae", 1 / 3),
     ("betaB_chairs_tpu", "betaB", 0.47),
+    ("VAE_chairs_tpu", "VAE", 0.45),
 ])
 def test_onchip_chairs_300_epoch_snapshot(name, loss_name, drop):
     """The chairs configs at full reference length (hyperparam.ini

@@ -401,6 +401,85 @@ def _last_measured():
             "vs_baseline": parsed.get("vs_baseline")}
 
 
+def _proc_cmdline(pid):
+    try:
+        with open("/proc/{}/cmdline".format(pid), "rb") as f:
+            return f.read().decode("utf-8", "replace").replace("\0", " ")
+    except OSError:
+        return None
+
+
+def _drain_zoo():
+    """The chip is single-tenant: if the long-running model-zoo evidence
+    driver (tools/complete_zoo.sh, pid file /tmp/zoo.pid) is mid-flight when
+    the round-end bench starts, two TPU processes would collide on the axon
+    tunnel and wedge it. Halt the orchestration SHELLS only (complete_zoo.sh
+    / evidence_run.sh, found by walking the pid-file's descendant tree —
+    never a pattern kill), leave the in-flight `timeout ... python main*.py`
+    leg to finish naturally (killing a TPU process mid-flight wedges the
+    tunnel — verify skill), wait for it, then cool down. No-op when no zoo
+    is running. Disable with BENCH_ZOO_DRAIN=0."""
+    import signal
+
+    pid_file = os.environ.get("ZOO_PID_FILE", "/tmp/zoo.pid")
+    try:
+        root = int(open(pid_file).read().strip())
+    except (OSError, ValueError):
+        return
+    root_cmd = _proc_cmdline(root)
+    if not root_cmd or "complete_zoo.sh" not in root_cmd:
+        return  # stale pid file (process gone or pid reused)
+
+    # Snapshot the descendant tree before touching anything.
+    children = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open("/proc/{}/stat".format(entry)) as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(entry))
+    tree, frontier = [], [root]
+    while frontier:
+        pid = frontier.pop()
+        tree.append(pid)
+        frontier.extend(children.get(pid, []))
+
+    shells, workers = [], []
+    for pid in tree:
+        cmd = _proc_cmdline(pid)
+        if cmd is None:
+            continue
+        if "complete_zoo.sh" in cmd or "evidence_run.sh" in cmd:
+            shells.append(pid)          # orchestration bash: safe to stop
+        elif not cmd.strip().startswith("sleep"):
+            workers.append(pid)         # timeout/python legs: wait them out
+    _progress("zoo drain: stopping {} orchestration shell(s), waiting for "
+              "{} in-flight leg process(es)".format(len(shells),
+                                                    len(workers)))
+    for pid in shells:
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.time() + int(os.environ.get("BENCH_ZOO_DRAIN_TIMEOUT",
+                                                "3000"))
+    while time.time() < deadline:
+        alive = [p for p in workers if _proc_cmdline(p) is not None]
+        if not alive:
+            break
+        time.sleep(10)
+    else:
+        _progress("zoo drain: WARNING — leg process(es) still alive at the "
+                  "drain cap; proceeding (their 2700s timeout cap bounds "
+                  "them)")
+    cool = int(os.environ.get("BENCH_ZOO_COOLDOWN_S", "330"))
+    _progress("zoo drained; tunnel cooldown {}s...".format(cool))
+    time.sleep(cool)
+
+
 def _tunnel_up(timeout_s=600):
     """Probe the TPU backend in a SUBPROCESS with a hard timeout. The axon
     relay has been observed down for hours (backend init blocks 30-40 min
@@ -422,6 +501,8 @@ def _tunnel_up(timeout_s=600):
 
 
 def main():
+    if os.environ.get("BENCH_ZOO_DRAIN", "1") != "0":
+        _drain_zoo()
     if os.environ.get("BENCH_PROBE", "1") != "0":
         _progress("probing the TPU tunnel (subprocess, 10-min cap)...")
         up, why = _tunnel_up(int(os.environ.get("BENCH_PROBE_TIMEOUT",
